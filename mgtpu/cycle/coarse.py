@@ -1,0 +1,86 @@
+"""Coarsest-grid solvers (device, jittable).
+
+The reference factorises the coarsest operator with sparse LU (UMFPACK,
+reference src/Multigrid/MGsetup.jl:350) or falls back to a one-shot
+Jacobi-preconditioned FGMRES (MGcycle.jl:152-168).  Sparse triangular solves
+are inherently sequential and a poor fit for the TPU; coarse grids are small
+by construction, so the idiomatic equivalent is a *dense* replicated LU whose
+batched triangular solves run on-device (SURVEY.md §2 native-component
+checklist item 4).  DD / Schur / direct-solver coarsest options plug in via
+the same `solve(b)` protocol from mgtpu.solvers / mgtpu.dd.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+import scipy.sparse as sp
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["lu", "piv"], meta_fields=[])
+@dataclass(frozen=True)
+class DenseLU:
+    """Replicated dense LU of the coarsest operator."""
+    lu: jax.Array
+    piv: jax.Array
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        return jsl.lu_solve((self.lu, self.piv), b)
+
+    def solve_adjoint(self, b: jax.Array) -> jax.Array:
+        # A^H x = b  <=>  x = lu_solve with trans=2 (conjugate transpose)
+        return jsl.lu_solve((self.lu, self.piv), b, trans=2)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["d", "ell_idx", "ell_val"],
+                   meta_fields=["inner"])
+@dataclass(frozen=True)
+class IterativeCoarse:
+    """One-shot Jacobi-preconditioned FGMRES coarsest solve.
+
+    Equivalent of the reference's coarseSolveType == "GMRES" escape hatch
+    (MGcycle.jl:152-168: 10 inner iterations, 1 restart, loose tol).
+    """
+    d: jax.Array
+    ell_idx: jax.Array
+    ell_val: jax.Array
+    inner: int
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        from .relax import fgmres_relaxation
+        from ..ops.ell import ell_matvec
+
+        squeeze = b.ndim == 1
+        bb = b[:, None] if squeeze else b
+        mv = lambda v: ell_matvec(self.ell_idx, self.ell_val, v)
+        dcol = self.d[:, None]
+        x = fgmres_relaxation(mv, lambda r: dcol * r, bb,
+                              jnp.zeros_like(bb), self.inner)
+        return x[:, 0] if squeeze else x
+
+    def solve_adjoint(self, b: jax.Array) -> jax.Array:
+        raise NotImplementedError("transpose the hierarchy instead")
+
+
+def dense_lu_from_scipy(A: sp.spmatrix, dtype=None) -> DenseLU:
+    Ad = np.asarray(A.todense())
+    if dtype is not None:
+        Ad = Ad.astype(dtype)
+    lu, piv = jsl.lu_factor(jnp.asarray(Ad))
+    return DenseLU(lu, piv)
+
+
+def iterative_coarse_from_scipy(A: sp.spmatrix, omega, inner: int = 10,
+                                dtype=None) -> IterativeCoarse:
+    from ..ops.ell import ell_from_scipy
+    d = np.asarray(omega / A.diagonal())
+    if dtype is not None:
+        d = d.astype(dtype)
+    E = ell_from_scipy(A.tocsr(), dtype=dtype)
+    return IterativeCoarse(jnp.asarray(d), E.indices, E.values, int(inner))

@@ -1,0 +1,69 @@
+"""Pointwise relaxation and FGMRES-accelerated smoothing (device, jittable).
+
+Equivalents of the reference's `relax` sweep (src/Multigrid/MGcycle.jl:122-136)
+and the preallocated-memory `FGMRES_relaxation` used both as the "Jac-GMRES"
+smoother and as the K-cycle accelerator (src/Multigrid/FGMRES.jl:40-126).
+
+The reference's FGMRES_relaxation builds the Krylov basis
+Z = [M r0, (M A) M r0, (M A)^2 M r0, ...] and minimises ||r0 - A Z t|| through
+a symmetrised normal-equations projection solved with pinv.  Here the same
+subspace is built with a statically unrolled loop (inner is small: 1-2 for
+smoothing, 2 for K-cycles, 10 for the iterative coarsest solve) and the
+projection is solved in one shot — mathematically identical, jit-friendly, and
+free of the reference's per-step early exit (which only triggers at residuals
+far below smoothing tolerances).
+
+Multiple right-hand sides use the reference's block-diagonal trick
+(FGMRES.jl:51-53): the m RHS are flattened into one n*m system sharing a
+single Krylov subspace.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["d"], meta_fields=[])
+@dataclass(frozen=True)
+class DiagRelax:
+    """Damped Jacobi / SPAI(0) diagonal preconditioner: x += d .* r."""
+    d: jax.Array  # (n,)
+
+
+def relax_diag(matvec, r, x, b, d, num_it: int):
+    """num_it sweeps of x += d.*r with the residual refreshed between sweeps.
+
+    The residual is NOT refreshed after the final sweep (callers recompute),
+    matching the reference sweep structure.
+    """
+    dcol = d[:, None] if x.ndim == 2 else d
+    for _ in range(num_it - 1):
+        x = x + dcol * r
+        r = b - matvec(x)
+    return x + dcol * r
+
+
+def fgmres_relaxation(matvec, prec, r0, x0, inner: int):
+    """Minimal-residual correction over the preconditioned Krylov subspace.
+
+    Returns x0 + Z t where t = argmin ||r0 - (A Z) t||_2 over the flattened
+    n*m block system.  `prec` is applied to r0 first, then to each successive
+    A z (reference FGMRES.jl:82-95).
+    """
+    zs, azs = [], []
+    w = r0
+    for j in range(inner):
+        z = prec(r0 if j == 0 else w)
+        w = matvec(z)
+        zs.append(z.reshape(-1))
+        azs.append(w.reshape(-1))
+    Z = jnp.stack(zs, axis=1)      # (n*m, inner)
+    AZ = jnp.stack(azs, axis=1)    # (n*m, inner)
+    G = AZ.conj().T @ AZ           # (inner, inner) normal equations
+    c = AZ.conj().T @ r0.reshape(-1)
+    t = jnp.linalg.pinv(G, rtol=1e-12) @ c
+    return x0 + (Z @ t).reshape(x0.shape)

@@ -1,0 +1,113 @@
+"""Stand-alone multigrid solve driver + preconditioner closures.
+
+Equivalent of the reference's SolveFuncs layer (src/Multigrid/SolveFuncs.jl):
+`solve_mg` iterates cycles with a relative-tolerance stop and per-cycle
+convergence-factor reporting (SolveFuncs.jl:3-39); `get_mg_preconditioner`
+wraps one cycle as an operator for Krylov methods, including the
+mixed-precision shim that runs a lower-precision cycle inside a higher
+precision outer iteration (SolveFuncs.jl:43-63).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..setup.hierarchy import MGState
+from ..cycle.cycle import make_cycle_fn
+
+__all__ = ["solve_mg", "get_mg_preconditioner", "get_afun", "solve_mg_jit"]
+
+
+def _as_2d(v):
+    v = jnp.asarray(v)
+    return (v[:, None], True) if v.ndim == 1 else (v, False)
+
+
+def get_afun(A_dev):
+    """Matvec closure over a device matrix (reference getAfun, SolveFuncs.jl:65-71)."""
+    return A_dev.matvec
+
+
+def solve_mg(state: MGState, b, x=None, verbose: bool = False):
+    """Iterate cycles until ||r||/||r0|| < relative_tol or max_outer_iter.
+
+    Returns (x, info) with info = {"iters", "relres", "resvec"}.  Per-cycle
+    convergence factors are printed in verbose mode exactly like the
+    reference's driver (SolveFuncs.jl:31-33).
+    """
+    t0 = time.perf_counter()
+    cfg = state.config
+    hier = state.hier
+    b2, squeeze = _as_2d(jnp.asarray(b, dtype=cfg.dtype))
+    x2 = (jnp.zeros_like(b2) if x is None
+          else _as_2d(jnp.asarray(x, dtype=cfg.dtype))[0])
+    cycle = make_cycle_fn(cfg)
+    matvec = hier.levels[0].A.matvec
+
+    res0 = float(jnp.linalg.norm(b2 - matvec(x2))) if float(
+        jnp.linalg.norm(x2)) > 0 else float(jnp.linalg.norm(b2))
+    res = res0
+    resvec = [res0]
+    iters = 0
+    for count in range(cfg.max_outer_iter):
+        x2 = cycle(hier, b2, x2)
+        res_prev = res
+        res = float(jnp.linalg.norm(b2 - matvec(x2)))
+        resvec.append(res)
+        iters += 1
+        if verbose:
+            print(f"Cycle {count + 1} done with relres: {res / res0:.3e}. "
+                  f"Convergence factor: {res / max(res_prev, 1e-300):.3f}")
+        if res / max(res0, 1e-300) < cfg.relative_tol:
+            break
+    state.n_iter += iters * b2.shape[1]
+    state.time_solve += time.perf_counter() - t0
+    x_out = x2[:, 0] if squeeze else x2
+    return x_out, {"iters": iters, "relres": res / max(res0, 1e-300),
+                   "resvec": np.array(resvec)}
+
+
+def solve_mg_jit(state: MGState, b, x=None, num_cycles: int | None = None):
+    """Fully-jitted fixed-cycle-count solve (no host syncs) for benchmarking."""
+    cfg = state.config
+    hier = state.hier
+    b2, squeeze = _as_2d(jnp.asarray(b, dtype=cfg.dtype))
+    x2 = (jnp.zeros_like(b2) if x is None
+          else _as_2d(jnp.asarray(x, dtype=cfg.dtype))[0])
+    n = cfg.max_outer_iter if num_cycles is None else num_cycles
+    cycle = make_cycle_fn(cfg)
+
+    @jax.jit
+    def run(hier, b2, x2):
+        for _ in range(n):
+            x2 = cycle(hier, b2, x2)
+        return x2
+
+    x2 = run(hier, b2, x2)
+    return x2[:, 0] if squeeze else x2
+
+
+def get_mg_preconditioner(state: MGState, outer_dtype=None):
+    """One-cycle-from-zero preconditioner closure (SolveFuncs.jl:43-63).
+
+    When outer_dtype differs from the hierarchy dtype, the cycle runs in the
+    hierarchy's (lower) precision inside the higher-precision outer Krylov
+    iteration — the reference's mixed-precision shim (SolveFuncs.jl:52-58).
+    """
+    cfg = state.config
+    hier = state.hier
+    cycle = make_cycle_fn(cfg)
+    mixed = outer_dtype is not None and np.dtype(outer_dtype) != np.dtype(cfg.dtype)
+
+    def prec(r):
+        r2, squeeze = _as_2d(r)
+        rl = r2.astype(cfg.dtype) if mixed else r2
+        z = cycle(hier, rl, jnp.zeros_like(rl))
+        if mixed:
+            z = z.astype(outer_dtype)
+        return z[:, 0] if squeeze else z
+
+    return prec
