@@ -18,7 +18,11 @@ from .setup.hierarchy import (MGConfig, get_mg_param, mg_setup, MGState,
                               transpose_hierarchy, replace_matrix_in_hierarchy,
                               copy_solver, clear, hierarchy_exists)
 from .solvers.mg_solver import (solve_mg, solve_mg_jit, get_mg_preconditioner,
-                                get_afun)
+                                get_afun, solve_cg_mg, solve_bicgstab_mg,
+                                solve_gmres_mg)
+from .krylov.cg import pcg
+from .krylov.fgmres import fgmres, block_fgmres
+from .krylov.bicgstab import bicgstab
 from .cycle.cycle import recursive_cycle, make_cycle_fn
 
 __version__ = "0.1.0"

@@ -111,3 +111,65 @@ def get_mg_preconditioner(state: MGState, outer_dtype=None):
         return z[:, 0] if squeeze else z
 
     return prec
+
+
+# ---------------------------------------------------------------------------
+# Krylov-wrapped solves (reference SolveFuncs.jl:74-133)
+# ---------------------------------------------------------------------------
+
+def _krylov_setup(state: MGState, b, x0):
+    cfg = state.config
+    b2, squeeze = _as_2d(jnp.asarray(b))
+    x2 = (jnp.zeros_like(b2) if x0 is None
+          else _as_2d(jnp.asarray(x0))[0])
+    matvec = state.hier.levels[0].A.matvec
+    prec = get_mg_preconditioner(state, outer_dtype=b2.dtype)
+    return cfg, b2, x2, squeeze, matvec, prec
+
+
+def solve_cg_mg(state: MGState, b, x0=None, verbose: bool = False):
+    """MG-preconditioned CG (reference solveCG_MG, SolveFuncs.jl:103-116)."""
+    from ..krylov.cg import pcg
+    t0 = time.perf_counter()
+    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
+    x, info = pcg(matvec, b2, prec=prec, x0=x2, tol=cfg.relative_tol,
+                  max_iter=cfg.max_outer_iter)
+    if verbose:
+        print(f"solve_cg_mg: {int(info['iters'])} iters, relres "
+              f"{float(jnp.max(info['relres'])):.3e}")
+    state.n_iter += int(info["iters"]) * b2.shape[1]
+    state.time_solve += time.perf_counter() - t0
+    return (x[:, 0] if squeeze else x), info
+
+
+def solve_bicgstab_mg(state: MGState, b, x0=None, verbose: bool = False):
+    """MG-preconditioned BiCGSTAB (reference solveBiCGSTAB_MG,
+    SolveFuncs.jl:85-99)."""
+    from ..krylov.bicgstab import bicgstab
+    t0 = time.perf_counter()
+    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
+    x, info = bicgstab(matvec, b2, prec=prec, x0=x2, tol=cfg.relative_tol,
+                       max_iter=cfg.max_outer_iter)
+    if verbose:
+        print(f"solve_bicgstab_mg: {int(info['iters'])} iters, relres "
+              f"{float(jnp.max(info['relres'])):.3e}")
+    state.n_iter += int(info["iters"]) * b2.shape[1]
+    state.time_solve += time.perf_counter() - t0
+    return (x[:, 0] if squeeze else x), info
+
+
+def solve_gmres_mg(state: MGState, b, x0=None, flexible: bool = True,
+                   inner: int = 5, verbose: bool = False, block: bool = False):
+    """MG-preconditioned restarted (F)GMRES (reference solveGMRES_MG,
+    SolveFuncs.jl:120-133). block=True uses the reference's shared-Krylov-space
+    block variant for multiple RHS."""
+    from ..krylov.fgmres import fgmres, block_fgmres
+    t0 = time.perf_counter()
+    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
+    fn = block_fgmres if (block and b2.shape[1] > 1) else fgmres
+    x, info = fn(matvec, b2, restart=inner, prec=prec, x0=x2,
+                 tol=cfg.relative_tol, max_iter=cfg.max_outer_iter,
+                 flexible=flexible, verbose=verbose)
+    state.n_iter += int(info["iters"]) * b2.shape[1]
+    state.time_solve += time.perf_counter() - t0
+    return (x[:, 0] if squeeze else x), info

@@ -1,0 +1,137 @@
+"""SA-AMG + classical AMG convergence contract (reference
+test/Multigrid/testSAforDivSigGrad.jl — SURVEY.md §4 / BASELINE.md)."""
+import numpy as np
+import scipy.sparse as sp
+
+from mgtpu import (get_mg_param, solve_mg, solve_cg_mg, solve_bicgstab_mg,
+                   solve_gmres_mg, get_regular_mesh,
+                   transpose_hierarchy, replace_matrix_in_hierarchy)
+from mgtpu.setup.sa_amg import sa_amg_setup, get_aggregation
+from mgtpu.setup.classical_amg import (classical_amg_setup, cf_coloring_first,
+                                       cf_coloring_second,
+                                       strength_matrix_classical)
+from mgtpu.models.operators import nodal_div_sig_grad_matrix
+
+
+def _divsiggrad_2d(n=50):
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    m = np.exp(np.random.randn(n * n))
+    A = nodal_div_sig_grad_matrix(M, m)
+    A = (A + 1e-8 * abs(A).sum() * sp.identity(A.shape[0])).tocsr()
+    return A
+
+
+def test_aggregation_sane():
+    A = _divsiggrad_2d(30)
+    P0 = get_aggregation(A, 0.4)
+    n, nc = P0.shape
+    assert nc < n / 4          # real coarsening
+    # every fine node belongs to exactly one aggregate with weight 1
+    assert np.allclose(np.asarray(P0.sum(axis=1)).ravel(), 1.0)
+
+
+def test_sa_amg_standalone_2d():
+    """SA-AMG 50^2, SPAI, V(1,1), 3 RHS: < 0.01 in <=5 cycles
+    (reference testSAforDivSigGrad.jl:34-38)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1)
+    state = sa_amg_setup(A, cfg, rp, verbose=True)
+    B = A @ np.random.rand(A.shape[0], 3)
+    B = B / np.linalg.norm(B)
+    X, info = solve_mg(state, B, verbose=True)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.01
+
+
+def test_sa_amg_cg_bicgstab():
+    """CG/BiCGSTAB + SA-AMG: < 0.005 (reference testSAforDivSigGrad.jl:41-50)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1)
+    state = sa_amg_setup(A, cfg, rp)
+    B = A @ np.random.rand(A.shape[0], 3)
+    B = B / np.linalg.norm(B)
+    X, _ = solve_cg_mg(state, B)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.005
+    X, _ = solve_bicgstab_mg(state, B)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.005
+
+
+def test_sa_amg_transpose_replace_gmres():
+    """transposeHierarchy + replaceMatrixInHierarchy + GMRES coarse option
+    (reference testSAforDivSigGrad.jl:52-66)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1, coarse_solve="gmres")
+    state = sa_amg_setup(A, cfg, rp)
+    transpose_hierarchy(state)
+    replace_matrix_in_hierarchy(state, A)
+    b = A @ np.random.rand(A.shape[0])
+    b = b / np.linalg.norm(b)
+    x, _ = solve_gmres_mg(state, b, inner=2)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 0.001
+
+
+def test_sa_amg_kcycle_jacgmres():
+    """K-cycle + Jac-GMRES relax (reference testSAforDivSigGrad.jl:80-83)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="jac-gmres", relax_param=1.0,
+                           nu_pre=1, nu_post=1, cycle_type="K")
+    state = sa_amg_setup(A, cfg, rp)
+    B = A @ np.random.rand(A.shape[0], 3)
+    B = B / np.linalg.norm(B)
+    X, _ = solve_gmres_mg(state, B, inner=2)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.01
+
+
+def test_classical_amg_coloring_covers():
+    A = _divsiggrad_2d(30)
+    S = strength_matrix_classical(A, 0.4)
+    col = cf_coloring_second(S, cf_coloring_first(S))
+    nc = col.sum()
+    assert 0 < nc < A.shape[0]
+    # every F point has at least one strong C neighbor
+    Sc = S.tocsr()
+    for i in range(A.shape[0]):
+        if col[i] == 0:
+            nbrs = Sc.indices[Sc.indptr[i]:Sc.indptr[i + 1]]
+            assert np.any(col[nbrs[nbrs != i]] == 1)
+
+
+def test_classical_amg_standalone_and_cg():
+    """C-AMG: < 0.005 with CG (reference testSAforDivSigGrad.jl:67-76)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1)
+    state = classical_amg_setup(A, cfg, rp, verbose=True)
+    b = A @ np.random.rand(A.shape[0])
+    b = b / np.linalg.norm(b)
+    x, _ = solve_mg(state, b, verbose=True)
+    x, _ = solve_cg_mg(state, b)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 0.005
+
+
+def test_amg_3d():
+    """3D 32x32x16 DivSigGrad, SA + classical (reference
+    testSAforDivSigGrad.jl:93-127)."""
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0, 0.0, 1.0], [32, 32, 16])
+    m = np.exp(np.random.randn(32 * 32 * 16))
+    A = nodal_div_sig_grad_matrix(M, m)
+    A = (A + 1e-6 * abs(A).sum() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=5, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1)
+    state = sa_amg_setup(A, cfg, rp)
+    B = A @ np.random.rand(A.shape[0], 3)
+    B = B / np.linalg.norm(B)
+    X, _ = solve_cg_mg(state, B)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.005
+
+    state = classical_amg_setup(A, cfg, rp)
+    X, _ = solve_cg_mg(state, B)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.005
