@@ -20,6 +20,11 @@ from .setup.hierarchy import (MGConfig, get_mg_param, mg_setup, MGState,
 from .solvers.mg_solver import (solve_mg, solve_mg_jit, get_mg_preconditioner,
                                 get_afun, solve_cg_mg, solve_bicgstab_mg,
                                 solve_gmres_mg)
+from .solvers.wrappers import MGSolver, SAAMGSolver, ClassicalAMGSolver
+from .solvers.direct import DirectSolver, batched_dense_lu
+from .solvers.schur import SchurComplementSolver
+from .setup.sa_amg import sa_amg_setup
+from .setup.classical_amg import classical_amg_setup
 from .krylov.cg import pcg
 from .krylov.fgmres import fgmres, block_fgmres
 from .krylov.bicgstab import bicgstab
