@@ -19,7 +19,7 @@ def _sym_operator():
     G = nodal_gradient_matrix(M)
     m = sp.diags(np.exp(np.random.randn(G.shape[0])))
     A = (G.T @ m @ G).tocsr()
-    A = A + 1e-1 * abs(A).sum() * sp.identity(A.shape[0])
+    A = A + 1e-1 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])
     return A.tocsr()
 
 
@@ -106,7 +106,7 @@ def test_mg_solver_wrapper_gmres_pcg_bicgstab():
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [50, 50])
     G = nodal_gradient_matrix(M)
     A = (G.T @ G).tocsr()
-    A = A + 1e-2 * abs(A).sum() * sp.identity(A.shape[0])
+    A = A + 1e-2 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])
     A = A.tocsr()
     B = A @ np.random.rand(A.shape[0], 4)
     cfg, rp = get_mg_param(levels=5, max_outer_iter=15, relative_tol=1e-2,
@@ -129,7 +129,7 @@ def test_saamg_and_classical_wrappers():
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [50, 50])
     m = np.exp(np.random.randn(M.num_cells))
     A = nodal_div_sig_grad_matrix(M, m)
-    A = (A + 1e-2 * abs(A).sum() * sp.identity(A.shape[0])).tocsr()
+    A = (A + 1e-2 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])).tocsr()
     B = A @ np.random.rand(A.shape[0], 4)
     cfg, rp = get_mg_param(levels=3, max_outer_iter=15, relative_tol=1e-2,
                            relax_type="spai", relax_param=1.0,
