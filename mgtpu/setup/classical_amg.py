@@ -174,8 +174,10 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
             break
         relax = _setup_relax(A_l, cfg, rp_arr[l], None)
         S = strength_matrix_classical(A_l, cfg.strong_conn_param)
-        coloring = cf_coloring_first(S)
-        coloring = cf_coloring_second(S, coloring)
+        from ..utils import native
+        coloring = native.cf_coloring(S)
+        if coloring is None:
+            coloring = cf_coloring_second(S, cf_coloring_first(S))
         P = direct_interpolation(A_l.tocsr(), S, coloring)
         if P.shape[0] == P.shape[1]:
             if verbose:

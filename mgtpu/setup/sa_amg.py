@@ -30,7 +30,8 @@ from .hierarchy import (MGConfig, MGState, _per_level_relax_param,
                         _setup_relax, build_device_hierarchy)
 
 __all__ = ["sa_amg_setup", "get_aggregation", "strength_matrix",
-           "neighborhood_aggregation", "aggregation_to_tentative_p"]
+           "neighborhood_aggregation", "aggregation_to_tentative_p",
+           "sparsify_non_galerkin"]
 
 
 def strength_matrix(A: sp.spmatrix, theta: float) -> sp.csr_matrix:
@@ -122,12 +123,20 @@ def aggregation_to_tentative_p(aggr: np.ndarray) -> sp.csr_matrix:
 
 def get_aggregation(A: sp.spmatrix, theta: float) -> sp.csr_matrix:
     """P0, or identity when the level is too small to coarsen
-    (reference SA-AMG.jl:78-86: n <= 100 stops)."""
+    (reference SA-AMG.jl:78-86: n <= 100 stops).
+
+    Uses the native C++ aggregation kernel when built (mgtpu/native),
+    otherwise the numpy implementation — identical outputs.
+    """
     n = A.shape[0]
     if n <= 100:
         return sp.identity(n, format="csr")
     S = strength_matrix(A, theta)
-    return aggregation_to_tentative_p(neighborhood_aggregation(S))
+    from ..utils import native
+    aggr = native.aggregate(S)
+    if aggr is None:
+        aggr = neighborhood_aggregation(S)
+    return aggregation_to_tentative_p(aggr)
 
 
 def _rho_estimate(M: sp.spmatrix) -> float:
@@ -138,10 +147,65 @@ def _rho_estimate(M: sp.spmatrix) -> float:
     return float(min(n1, ninf))
 
 
+def sparsify_non_galerkin(A_g: sp.csr_matrix, A_fine: sp.csr_matrix,
+                          P0: sp.csr_matrix,
+                          filtering_param: float = 0.0) -> sp.csr_matrix:
+    """Sparsified non-Galerkin coarse operator.
+
+    After Treister & Yavneh, *Non-Galerkin Multigrid based on Sparsified
+    Smoothed Aggregation*, SISC 37(1) 2015 (the paper the reference cites but
+    whose sparsification its code does not implement — SURVEY.md item 2):
+    the smoothed-prolongator Galerkin product P^T A P densifies with each
+    level; restrict it to the aggregate-adjacency pattern (P0^T |A_g| P0-like,
+    here: entries whose aggregates touch in the tentative pattern) plus an
+    optional magnitude filter, and LUMP each removed off-diagonal entry into
+    the two diagonals it connects.  Lumping preserves row sums (the action on
+    the constant near-nullspace) and symmetry.
+
+    filtering_param theta in [0, ~0.2]: additionally drop retained entries
+    with |a_ij| < theta * sqrt(|a_ii a_jj|) — the reference's dormant
+    FilteringParam (MGdef.jl:112), functional here.
+    """
+    A_g = A_g.tocsr()
+    # sparsity target: distance-1 aggregate adjacency — aggregates coupled
+    # through at least one fine-level entry (the tentative-Galerkin pattern
+    # P0^T |A| P0, much sparser than the smoothed-P Galerkin pattern)
+    pat = (abs(P0).T @ abs(A_fine) @ abs(P0)).tocsr()
+    pat.data[:] = 1.0
+
+    keep = A_g.multiply(pat).tocsr()
+    removed = (A_g - keep).tocsr()
+
+    if filtering_param > 0.0:
+        d = np.abs(keep.diagonal())
+        coo = keep.tocoo()
+        weak = (np.abs(coo.data) <
+                filtering_param * np.sqrt(d[coo.row] * d[coo.col]))
+        weak &= coo.row != coo.col
+        if weak.any():
+            removed = (removed + sp.coo_matrix(
+                (coo.data[weak], (coo.row[weak], coo.col[weak])),
+                shape=A_g.shape)).tocsr()
+            coo.data[weak] = 0.0
+            keep = sp.coo_matrix((coo.data, (coo.row, coo.col)),
+                                 shape=A_g.shape).tocsr()
+            keep.eliminate_zeros()
+
+    # diagonal lumping of the removed mass: a_ii += sum_j removed_ij
+    lump = np.asarray(removed.sum(axis=1)).ravel()
+    return (keep + sp.diags(lump)).tocsr()
+
+
 def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
-                 coarse_solver=None, verbose: bool = False) -> MGState:
+                 coarse_solver=None, verbose: bool = False,
+                 non_galerkin: bool = False) -> MGState:
     """Build a smoothed-aggregation hierarchy (reference SA_AMGsetup,
-    SA-AMG.jl:8-76)."""
+    SA-AMG.jl:8-76).
+
+    non_galerkin=True enables the Treister-Yavneh sparsified coarse operators
+    (off by default to match the reference code's standard-SA behavior); the
+    filtering threshold comes from cfg.filtering_param.
+    """
     t_all = time.perf_counter()
     A = sp.csr_matrix(A).astype(cfg.dtype)
     if cfg.relax_type not in ("jacobi", "jac-gmres", "spai"):
@@ -170,6 +234,8 @@ def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
         Ps.append(P)
         Rs.append(R)
         A_c = (R @ A_l @ P).tocsr().astype(cfg.dtype)
+        if non_galerkin:
+            A_c = sparsify_non_galerkin(A_c, A_l, P0, cfg.filtering_param)
         As.append(A_c)
         cop += A_c.nnz
         if verbose:

@@ -135,3 +135,48 @@ def test_amg_3d():
     state = classical_amg_setup(A, cfg, rp)
     X, _ = solve_cg_mg(state, B)
     assert np.linalg.norm(A @ np.asarray(X) - B) < 0.005
+
+
+def test_non_galerkin_sparsified_sa():
+    """Treister-Yavneh sparsified non-Galerkin option: fewer coarse nnz,
+    convergence within contract (paper feature absent from the reference
+    code; gated off by default)."""
+    A = _divsiggrad_2d(50)
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=8, relative_tol=1e-4,
+                           relax_type="spai", relax_param=1.0,
+                           nu_pre=1, nu_post=1, filtering_param=0.02)
+    st_g = sa_amg_setup(A, cfg, rp)
+    st_ng = sa_amg_setup(A, cfg, rp, non_galerkin=True)
+    # sparser coarse operators
+    assert sum(a.nnz for a in st_ng.As[1:]) < sum(a.nnz for a in st_g.As[1:])
+    b = A @ np.random.rand(A.shape[0])
+    b /= np.linalg.norm(b)
+    x, _ = solve_cg_mg(st_ng, b)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 0.01
+    # row sums (constant-vector action) preserved by the lumping
+    from mgtpu.setup.sa_amg import sparsify_non_galerkin
+    import scipy.sparse as _sp
+    Ag = st_g.As[1]
+    P0 = None  # direct check: compare row sums of level-1 ops
+    rs_g = np.asarray(st_g.As[1].sum(axis=1)).ravel()
+    rs_ng = np.asarray(st_ng.As[1].sum(axis=1)).ravel()
+    np.testing.assert_allclose(rs_ng, rs_g, rtol=1e-10, atol=1e-10)
+
+
+def test_native_kernels_match_python():
+    """C++ setup kernels produce exactly the numpy implementations' outputs."""
+    from mgtpu.utils import native
+    from mgtpu.setup.sa_amg import strength_matrix, neighborhood_aggregation
+    if not native.available():
+        import pytest
+        pytest.skip("no C++ toolchain available")
+    A = _divsiggrad_2d(40)
+    S = strength_matrix(A, 0.4)
+    S.sort_indices()
+    np.testing.assert_array_equal(native.aggregate(S),
+                                  neighborhood_aggregation(S))
+    Sc = strength_matrix_classical(A, 0.4)
+    Sc.sort_indices()
+    np.testing.assert_array_equal(
+        native.cf_coloring(Sc),
+        cf_coloring_second(Sc, cf_coloring_first(Sc)))
