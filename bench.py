@@ -1,11 +1,20 @@
 """Benchmark: 2D Poisson GMG V-cycle on the real TPU chip.
 
 Headline metric (BASELINE.md protocol): wall-clock per V-cycle on a 1024^2
-Poisson problem (1025^2 nodes, ~9.4M nnz on the fine level), float32, 6-level
-Galerkin hierarchy, Jacobi V(1,1), dense-LU coarsest.  The reference publishes
-no numbers (BASELINE.md: "None"), so vs_baseline reports the speedup against
-the same V-cycle executed with scipy CSR matvecs on this machine's CPU — the
-reference's own platform class (an OpenMP CPU solver).
+Poisson problem (1025^2 nodes, ~5.2M nnz fine level), float32, 6-level
+Galerkin hierarchy, Jacobi V(1,1), dense coarsest solve, grid stencil engine.
+
+Timing methodology: the remote TPU runtime pipelines async dispatches and its
+`block_until_ready` does not flush the execution queue, so naive per-call
+timing measures dispatch, not execution.  We therefore time two jitted chains
+of K1 and K2 dependent cycles, each forced to completion by pulling a scalar
+residual norm to the host, and report the slope (t2 - t1) / (K2 - K1) — this
+cancels the fixed dispatch/RTT overhead exactly.
+
+The reference publishes no numbers (BASELINE.md: "None"), so vs_baseline
+reports the speedup against the numerically identical V-cycle executed with
+scipy CSR matvecs on this machine's CPU — the reference's own platform class
+(an OpenMP CPU solver).
 
 Prints exactly one JSON line.
 """
@@ -42,11 +51,40 @@ def _host_vcycle(state, b, x):
     return cycle(0, b, x)
 
 
+def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
+    """Per-cycle time from the slope between two dependent-cycle chains.
+
+    One program (dynamic trip count) runs k chained cycles and returns a
+    scalar; pulling it to the host forces completion.  The k2-vs-k1 slope
+    cancels the fixed dispatch/RTT cost of the remote TPU runtime.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(hier, b, x, k):
+        x = lax.fori_loop(0, k, lambda i, xx: cycle(hier, b, xx), x)
+        return jnp.sum(x)              # scalar pulled to host forces completion
+
+    for k in ks:                       # compile + warm
+        float(run(hier, b, x0, k))
+    times = {k: [] for k in ks}
+    for _ in range(reps):
+        for k in ks:
+            t0 = time.perf_counter()
+            float(run(hier, b, x0, k))
+            times[k].append(time.perf_counter() - t0)
+    t1, t2 = min(times[ks[0]]), min(times[ks[1]])
+    return (t2 - t1) / (ks[1] - ks[0]) * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
     from mgtpu import get_mg_param, mg_setup, get_regular_mesh, make_cycle_fn
+    from mgtpu.cycle.cycle import recursive_cycle
     from mgtpu.models.operators import nodal_laplacian_matrix
 
     n = 1024
@@ -65,48 +103,54 @@ def main():
     b64 = L @ rng.rand(L.shape[0])
     b64 /= np.linalg.norm(b64)
     b = jnp.asarray(b64.astype(dtype))[:, None]
-    x = jnp.zeros_like(b)
-    cycle = make_cycle_fn(cfg)
-    hier = state.hier
+    x0 = jnp.zeros_like(b)
 
-    # warm up / compile
-    x = cycle(hier, b, x)
-    jax.block_until_ready(x)
-    x = jnp.zeros_like(b)
+    dev_ms = _chain_timer(lambda h, bb, xx: recursive_cycle(cfg, h, bb, xx),
+                          state.hier, b, x0)
 
-    n_rep = 20
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        x = cycle(hier, b, x)
-    jax.block_until_ready(x)
-    dev_ms = (time.perf_counter() - t0) / n_rep * 1e3
+    # numerical check: relres after 20 cycles
+    cyc = make_cycle_fn(cfg)
+    x = x0
+    for _ in range(20):
+        x = cyc(state.hier, b, x)
+    relres = float(np.linalg.norm(
+        b64 - L.astype(np.float64) @ np.asarray(x[:, 0], dtype=np.float64)))
 
-    relres = float(jnp.linalg.norm(b[:, 0] - jnp.asarray(
-        L.astype(dtype) @ np.asarray(x[:, 0]))))
+    # the flat (ELL/DIA) engine, for the record
+    cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
+                               relax_param=0.8, nu_pre=1, nu_post=1,
+                               dtype=dtype, engine="flat")
+    state_f = mg_setup(L, M, cfg_f, rp_f)
+    flat_ms = _chain_timer(
+        lambda h, bb, xx: recursive_cycle(cfg_f, h, bb, xx),
+        state_f.hier, b, x0, ks=(2, 6), reps=2)
 
     # host (CPU, scipy CSR) baseline: same cycle, float32
     bh = b64.astype(dtype)[:, None]
     xh = np.zeros_like(bh)
-    xh = _host_vcycle(state, bh, xh)   # warm (splu factor)
+    xh = _host_vcycle(state_f, bh, xh)   # warm (splu factor)
     xh = np.zeros_like(bh)
     t0 = time.perf_counter()
     n_host = 3
     for _ in range(n_host):
-        xh = _host_vcycle(state, bh, xh)
+        xh = _host_vcycle(state_f, bh, xh)
     host_ms = (time.perf_counter() - t0) / n_host * 1e3
 
     result = {
         "metric": "poisson2d_1024_gmg_vcycle_time",
-        "value": round(dev_ms, 3),
+        "value": round(dev_ms, 4),
         "unit": "ms",
         "vs_baseline": round(host_ms / dev_ms, 2),
         "detail": {
             "device": str(jax.devices()[0]),
-            "fine_nnz": int(state.As[0].nnz),
-            "hierarchy_nnz": int(nnz_total),
+            "engine": type(state.hier).__name__,
+            "fine_nnz": int(state_f.As[0].nnz),
+            "hierarchy_nnz": int(sum(a.nnz for a in state_f.As)),
             "host_cpu_vcycle_ms": round(host_ms, 3),
+            "flat_engine_vcycle_ms": round(flat_ms, 3),
             "relres_after_20_cycles": relres,
-            "nnz_per_s_per_cycle": round(nnz_total * 2 * 1e3 / dev_ms / 1e9, 2),
+            "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
+                                * 4 * 1e3 / dev_ms / 1e9, 2),
         },
     }
     print(json.dumps(result))

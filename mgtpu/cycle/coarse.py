@@ -69,11 +69,25 @@ class IterativeCoarse:
 
 
 def dense_lu_from_scipy(A: sp.spmatrix, dtype=None) -> DenseLU:
+    """Factorize on the host (LAPACK getrf), ship L/U + pivots to the device.
+
+    Only the triangular solves run on-chip (batched trsm — MXU-friendly);
+    factoring on host avoids the TPU blocked-LU kernel's vmem ceiling for
+    coarse grids in the 10k-100k range and costs nothing in the solve path.
+    """
+    import scipy.linalg as sla
+
+    n = A.shape[0]
+    if n > 70000:
+        raise ValueError(
+            f"coarsest grid has {n} unknowns — too large for a replicated "
+            "dense LU. Use more levels, or coarse_solve_type='GMRES' / a "
+            "DD/Schur coarsest solver.")
     Ad = np.asarray(A.todense())
     if dtype is not None:
         Ad = Ad.astype(dtype)
-    lu, piv = jsl.lu_factor(jnp.asarray(Ad))
-    return DenseLU(lu, piv)
+    lu, piv = sla.lu_factor(Ad)
+    return DenseLU(jnp.asarray(lu), jnp.asarray(piv))
 
 
 def iterative_coarse_from_scipy(A: sp.spmatrix, omega, inner: int = 10,

@@ -42,6 +42,10 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
 def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
                     ctype: str | None = None):
     """One multigrid cycle at `level`; b, x are (n, nrhs) device arrays."""
+    from .grid_cycle import GridHierarchy, grid_cycle_flat
+    if isinstance(hier, GridHierarchy):
+        # structured zero-gather engine; (n, m) <-> (m, *grid) at the boundary
+        return grid_cycle_flat(cfg, hier, b, x, ctype)
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(hier.levels)
     if level == nlev - 1:

@@ -1,0 +1,265 @@
+"""Grid-form multigrid cycle — the structured zero-gather engine.
+
+Numerically identical to the flat cycle (mgtpu.cycle.cycle) on geometric
+full-weighting hierarchies, but every operation is expressed on the node grid:
+
+ * level operators are `GridStencil`s (shift-multiply-accumulate SpMV),
+ * P/R are applied matrix-free as separable [0.5, 1, 0.5] tensor-product
+   smoothing + up/down-sampling (exactly the operators fw_interp builds for
+   odd node counts, reference GeometricTransferOperators.jl:22-46, including
+   the boundary rows, because zero-padded smoothing truncates the same way),
+ * the coarsest solve is one dense matmul with a host-precomputed inverse
+   (the TPU-idiomatic form of the reference's replicated coarsest LU,
+   MGsetup.jl:350 — triangular solves are sequential and slow on TPU, a
+   (nc x nc) @ (nc x m) matmul is MXU work).
+
+Fields are (m, *grid) with the fastest mesh axis last = TPU lanes; the flat
+(n, m) layout with m=1 wastes 127/128 lanes on every elementwise op and —
+worse — makes ELL-gather transfers the cycle bottleneck.  Measured on the
+1024^2 Poisson benchmark this engine removes ~97% of the flat cycle's device
+time (see BASELINE.md).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.grid_stencil import (GridStencil, grid_stencil_from_csr,
+                                flat_to_grid, grid_to_flat)
+from .relax import fgmres_relaxation
+
+__all__ = [
+    "GridLevel", "GridHierarchy", "DenseInverse", "GridIterativeCoarse",
+    "grid_restrict", "grid_prolong", "grid_cycle", "build_grid_hierarchy",
+]
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["A", "d"], meta_fields=[])
+@dataclass(frozen=True)
+class GridLevel:
+    A: GridStencil
+    d: jax.Array | None      # pointwise relax diagonal, grid-shaped
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["inv"], meta_fields=["grid"])
+@dataclass(frozen=True)
+class DenseInverse:
+    """Replicated dense inverse of the coarsest operator (one matmul/solve)."""
+    inv: jax.Array           # (nc, nc)
+    grid: tuple[int, ...]
+
+    def solve(self, bg: jax.Array) -> jax.Array:
+        """bg: (m, *grid) -> (m, *grid)."""
+        m = bg.shape[0]
+        xf = bg.reshape(m, -1) @ self.inv.T
+        return xf.reshape((m,) + self.grid)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["A", "d"], meta_fields=["inner"])
+@dataclass(frozen=True)
+class GridIterativeCoarse:
+    """Jacobi-preconditioned one-shot FGMRES coarsest solve, grid form
+    (reference MGcycle.jl:152-168 escape hatch)."""
+    A: GridStencil
+    d: jax.Array
+    inner: int
+
+    def solve(self, bg: jax.Array) -> jax.Array:
+        return fgmres_relaxation(self.A.matvec, lambda r: self.d * r,
+                                 bg, jnp.zeros_like(bg), self.inner)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["levels", "coarse"], meta_fields=[])
+@dataclass(frozen=True)
+class GridHierarchy:
+    levels: tuple            # GridLevel per level (coarsest included, d=None ok)
+    coarse: DenseInverse | GridIterativeCoarse
+
+    @property
+    def fine_grid(self) -> tuple[int, ...]:
+        return self.levels[0].A.grid
+
+
+# ---------------------------------------------------------------------------
+# matrix-free tensor-product full-weighting transfers
+# ---------------------------------------------------------------------------
+
+def _smooth_axis(x: jax.Array, axis: int) -> jax.Array:
+    """[0.5, 1, 0.5] smoothing along `axis`, zero-extended at the ends."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+
+    def sl(start):
+        s = [slice(None)] * x.ndim
+        s[axis] = slice(start, start + n)
+        return xp[tuple(s)]
+
+    return 0.5 * sl(0) + sl(1) + 0.5 * sl(2)
+
+
+def grid_restrict(rg: jax.Array, dim: int) -> jax.Array:
+    """R r on the grid: per-axis smooth + downsample, scaled by 0.5^dim.
+
+    rg: (m, *fine_grid) with every fine extent odd; returns (m, *coarse_grid).
+    Equals (0.5^dim * P^T) r for the fw_interp prolongation.
+    """
+    y = rg
+    for a in range(1, dim + 1):
+        y = _smooth_axis(y, a)
+        s = [slice(None)] * y.ndim
+        s[a] = slice(0, None, 2)
+        y = y[tuple(s)]
+    return (0.5 ** dim) * y
+
+
+def grid_prolong(xc: jax.Array, dim: int) -> jax.Array:
+    """P xc on the grid: per-axis upsample (zeros at odd nodes) + smooth."""
+    y = xc
+    for a in range(1, dim + 1):
+        cfgpad = [(0, 0, 0)] * y.ndim
+        cfgpad[a] = (0, 0, 1)          # interior padding: nc -> 2*nc - 1
+        y = jax.lax.pad(y, jnp.zeros((), y.dtype), cfgpad)
+        y = _smooth_axis(y, a)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# cycle
+# ---------------------------------------------------------------------------
+
+def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
+    if nu <= 0:
+        return x
+    if cfg.relax_type == "jac-gmres":
+        return fgmres_relaxation(lvl.A.matvec, lambda v: lvl.d * v, r, x, nu)
+    # jacobi / spai: x += d .* r with the residual refreshed between sweeps
+    for _ in range(nu - 1):
+        x = x + lvl.d * r
+        r = b - lvl.A.matvec(x)
+    return x + lvl.d * r
+
+
+def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
+               ctype: str | None = None):
+    """One multigrid cycle on grid fields b, x of shape (m, *grid_level)."""
+    ctype = cfg.cycle_type if ctype is None else ctype
+    nlev = len(gh.levels)
+    if level == nlev - 1:
+        return gh.coarse.solve(b)
+
+    lvl = gh.levels[level]
+    matvec = lvl.A.matvec
+    dim = len(lvl.A.grid)
+    with jax.named_scope(f"gmg_level{level}"):
+        r = b - matvec(x)
+        x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
+
+        r = b - matvec(x)
+        bc = grid_restrict(r, dim)
+        if level == nlev - 2:
+            with jax.named_scope("gmg_coarsest"):
+                xc = gh.coarse.solve(bc)
+        elif ctype == "K":
+            coarse_mv = gh.levels[level + 1].A.matvec
+            prec = lambda v: grid_cycle(cfg, gh, v, jnp.zeros_like(v),
+                                        level + 1, "K")
+            xc = fgmres_relaxation(coarse_mv, prec, bc, jnp.zeros_like(bc),
+                                   cfg.kcycle_inner)
+        else:
+            xc = grid_cycle(cfg, gh, bc, jnp.zeros_like(bc), level + 1, ctype)
+            if ctype == "W":
+                xc = grid_cycle(cfg, gh, bc, xc, level + 1, "W")
+            elif ctype == "F":
+                xc = grid_cycle(cfg, gh, bc, xc, level + 1, "V")
+
+        x = x + grid_prolong(xc, dim)
+
+        r = b - matvec(x)
+        x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_post[level])
+    return x
+
+
+def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
+    """Flat (n, m) boundary adapter around grid_cycle."""
+    grid = gh.fine_grid
+    xg = grid_cycle(cfg, gh, flat_to_grid(b2, grid), flat_to_grid(x2, grid),
+                    0, ctype)
+    return grid_to_flat(xg)
+
+
+# ---------------------------------------------------------------------------
+# construction from a host hierarchy
+# ---------------------------------------------------------------------------
+
+_GRID_RELAX = ("jacobi", "spai", "jac-gmres")
+_DENSE_INV_MAX = 16384
+
+
+def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
+    """Build the grid engine for an MGState when eligible; raises ValueError
+    otherwise (callers fall back to the flat ELL/DIA hierarchy)."""
+    cfg = state.config
+    if cfg.transfer_type != "full-weighting":
+        raise ValueError("grid engine needs scalar full-weighting transfers")
+    if cfg.relax_type not in _GRID_RELAX:
+        raise ValueError("grid engine supports pointwise relaxations only")
+    if not state.meshes or len(state.meshes) < state.num_levels:
+        raise ValueError("grid engine needs per-level meshes")
+    if cfg.coarse_solve not in ("lu", "gmres") or state.coarse_solver is not None:
+        raise ValueError("grid engine supports lu/gmres coarsest solves")
+
+    levels = []
+    for l in range(state.num_levels):
+        mesh = state.meshes[l]
+        nodes = [int(v) + 1 for v in np.asarray(mesh.n).ravel()]
+        if l < state.num_levels - 1 and any(nn % 2 == 0 for nn in nodes):
+            raise ValueError("matrix-free transfers need odd node counts")
+        A = grid_stencil_from_csr(state.As[l], nodes, dtype=cfg.dtype)
+        d = None
+        if l < state.num_levels - 1:
+            rs = relax_states[l]
+            if not hasattr(rs, "d"):
+                raise ValueError("grid engine needs a diagonal relax state")
+            d = jnp.asarray(rs.d).reshape(A.grid)
+        levels.append(GridLevel(A, d))
+
+    A_c = state.As[-1]
+    grid_c = levels[-1].A.grid
+    if cfg.coarse_solve == "gmres":
+        rp = state.relax_param
+        omega = rp if np.isscalar(rp) else 1.0
+        d_c = jnp.asarray((omega / A_c.diagonal()).astype(cfg.dtype)
+                          ).reshape(grid_c)
+        coarse = GridIterativeCoarse(levels[-1].A, d_c,
+                                     cfg.gmres_coarse_inner)
+    else:
+        if A_c.shape[0] > _DENSE_INV_MAX:
+            raise ValueError("coarsest grid too large for a dense inverse")
+        # Invert at float64 on host, then cast (f64 factorization error is far
+        # below the f32 storage rounding).  Neumann-type operators reach the
+        # coarsest level exactly singular (constant nullspace); a plain
+        # inverse of those sprays rounding into all directions, so use the
+        # pseudo-inverse (minimal-norm coarse solve) when affordable and a
+        # relatively-shifted inverse above that — the same regularization the
+        # reference applies to its AMG coarsest (SA-AMG.jl:63).
+        Ad = np.asarray(A_c.astype(
+            np.complex128 if np.iscomplexobj(A_c.data) else np.float64
+        ).todense())
+        if A_c.shape[0] <= 4096:
+            inv = np.linalg.pinv(Ad, rcond=1e-12)
+        else:
+            shift = 1e-8 * np.abs(Ad).sum(axis=0).max()
+            inv = np.linalg.inv(Ad + shift * np.eye(Ad.shape[0], dtype=Ad.dtype))
+        coarse = DenseInverse(jnp.asarray(inv.astype(cfg.dtype)), grid_c)
+    return GridHierarchy(tuple(levels), coarse)

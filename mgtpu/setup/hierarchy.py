@@ -83,6 +83,7 @@ class MGConfig:
     dtype: Any = np.float64
     kcycle_inner: int = 2
     gmres_coarse_inner: int = 10
+    engine: str = "auto"             # "auto" | "grid" | "flat"
 
     @property
     def mixed(self) -> bool:
@@ -95,7 +96,7 @@ def get_mg_param(levels: int = 3, max_outer_iter: int = 20,
                  coarse_solve: str = "lu", strong_conn_param: float = 0.4,
                  filtering_param: float = 0.0,
                  transfer_type: str = "full-weighting",
-                 dtype=np.float64) -> tuple[MGConfig, Any]:
+                 dtype=np.float64, engine: str = "auto") -> tuple[MGConfig, Any]:
     """Configuration constructor mirroring getMGparam (MGdef.jl:149-161).
 
     Returns (config, relax_param); sweep counts may be ints or per-level
@@ -119,7 +120,8 @@ def get_mg_param(levels: int = 3, max_outer_iter: int = 20,
                    cycle_type=cycle_type, coarse_solve=coarse_solve,
                    strong_conn_param=strong_conn_param,
                    filtering_param=filtering_param,
-                   transfer_type=transfer_type, dtype=np.dtype(dtype).type)
+                   transfer_type=transfer_type, dtype=np.dtype(dtype).type,
+                   engine=engine)
     return cfg, relax_param
 
 
@@ -258,6 +260,19 @@ def build_device_hierarchy(state: MGState, relax_states: list,
                            verbose: bool = False) -> Hierarchy:
     cfg = state.config
     nlev = state.num_levels
+    # grid engine (zero-gather matrix-free cycle) whenever the hierarchy is a
+    # structured full-weighting one — the flat ELL/DIA path stays as the
+    # general fallback (AMG, staggered systems, block smoothers)
+    if cfg.engine in ("auto", "grid"):
+        from ..cycle.grid_cycle import build_grid_hierarchy
+        try:
+            gh = build_grid_hierarchy(state, relax_states)
+            if verbose:
+                print("build_device_hierarchy: using the grid stencil engine")
+            return gh
+        except ValueError as e:
+            if cfg.engine == "grid":
+                raise ValueError(f"engine='grid' not applicable: {e}") from e
     # Kaczmarz/Vanka relaxations embed their own row tables; ELL for those
     # levels avoids storing the operator twice in incompatible layouts.
     prefer_dia = cfg.relax_type in ("jacobi", "jac-gmres", "spai")

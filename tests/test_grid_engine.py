@@ -1,0 +1,147 @@
+"""Grid-form (zero-gather) engine: conformance against the flat engine.
+
+The grid engine must be numerically identical to the flat ELL/DIA cycle on
+structured full-weighting hierarchies: same stencil application, same
+transfers (matrix-free separable FW == fw_interp matrices), same coarse
+solve up to factorization rounding.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from mgtpu import get_mg_param, mg_setup, get_regular_mesh
+from mgtpu.cycle.cycle import recursive_cycle
+from mgtpu.cycle.grid_cycle import (GridHierarchy, grid_restrict,
+                                    grid_prolong, build_grid_hierarchy)
+from mgtpu.ops.grid_stencil import (grid_stencil_from_csr, flat_to_grid,
+                                    grid_to_flat)
+from mgtpu.models.operators import (nodal_laplacian_matrix,
+                                    nodal_div_sig_grad_matrix)
+from mgtpu.solvers.mg_solver import solve_mg
+
+
+def _poisson(n, dim=2, dtype=np.float64):
+    dom = [0.0, 1.0] * dim
+    M = get_regular_mesh(dom, [n] * dim)
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(axis=0).max() * sp.identity(L.shape[0])).tocsr()
+    return M, L.astype(dtype)
+
+
+@pytest.mark.parametrize("dim,n", [(2, 16), (3, 8)])
+def test_grid_stencil_matvec_matches_scipy(dim, n):
+    M, L = _poisson(n, dim)
+    nodes = [n + 1] * dim
+    S = grid_stencil_from_csr(L, nodes)
+    x = np.random.rand(L.shape[0], 3)
+    y = np.asarray(S.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, L @ x, rtol=1e-12, atol=1e-12)
+    # round-trip representation
+    assert abs(S.to_scipy() - L).max() < 1e-14
+
+
+def test_grid_stencil_rejects_unstructured():
+    A = sp.random(50, 50, density=0.2, format="csr") + 10 * sp.identity(50)
+    with pytest.raises(ValueError):
+        grid_stencil_from_csr(A, [50])
+
+
+@pytest.mark.parametrize("dim,n", [(2, 16), (3, 8)])
+def test_grid_transfers_match_fw_matrices(dim, n):
+    M, L = _poisson(n, dim)
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, dtype=np.float64,
+                           engine="flat")
+    state = mg_setup(L, M, cfg, rp)
+    grid_f = tuple(reversed([n + 1] * dim))
+    rng = np.random.RandomState(3)
+    r = rng.rand(L.shape[0], 2)
+    rg = flat_to_grid(jnp.asarray(r), grid_f)
+    bc = np.asarray(grid_to_flat(grid_restrict(rg, dim)))
+    np.testing.assert_allclose(bc, state.Rs[0] @ r, rtol=1e-12, atol=1e-13)
+    nc = state.Rs[0].shape[0]
+    xc = rng.rand(nc, 2)
+    grid_c = tuple(reversed([n // 2 + 1] * dim))
+    xf = np.asarray(grid_to_flat(grid_prolong(
+        flat_to_grid(jnp.asarray(xc), grid_c), dim)))
+    np.testing.assert_allclose(xf, state.Ps[0] @ xc, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("relax", ["jacobi", "spai", "jac-gmres"])
+@pytest.mark.parametrize("ctype", ["V", "W", "F", "K"])
+def test_grid_cycle_matches_flat_cycle(relax, ctype):
+    M, L = _poisson(32, 2)
+    mk = lambda engine: get_mg_param(
+        levels=3, relax_type=relax, relax_param=0.8, nu_pre=1, nu_post=1,
+        cycle_type=ctype, dtype=np.float64, engine=engine)
+    cfg_f, rp = mk("flat")
+    cfg_g, _ = mk("grid")
+    st_f = mg_setup(L, M, cfg_f, rp)
+    st_g = mg_setup(L, M, cfg_g, rp)
+    assert isinstance(st_g.hier, GridHierarchy)
+    assert not isinstance(st_f.hier, GridHierarchy)
+    b = np.random.rand(L.shape[0], 2)
+    x0 = np.zeros_like(b)
+    xf = np.asarray(recursive_cycle(cfg_f, st_f.hier, jnp.asarray(b),
+                                    jnp.asarray(x0)))
+    xg = np.asarray(recursive_cycle(cfg_g, st_g.hier, jnp.asarray(b),
+                                    jnp.asarray(x0)))
+    np.testing.assert_allclose(xg, xf, rtol=1e-9, atol=1e-11)
+
+
+def test_grid_engine_3d_and_multirhs_convergence():
+    M, L = _poisson(16, 3)
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=2, nu_post=2, max_outer_iter=18,
+                           relative_tol=1e-9, dtype=np.float64, engine="grid")
+    state = mg_setup(L, M, cfg, rp)
+    b = np.random.rand(L.shape[0], 3)
+    b /= np.linalg.norm(b, axis=0)
+    x, info = solve_mg(state, b)
+    assert info["relres"] < 1e-9
+    np.testing.assert_allclose(np.asarray(L @ np.asarray(x)), b,
+                               atol=5e-9)
+
+
+def test_grid_engine_gmres_coarse_and_divsiggrad():
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [32, 32])
+    sig = np.exp(np.random.randn(32 * 32))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-4 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="spai", nu_pre=2, nu_post=2,
+                           max_outer_iter=15, relative_tol=1e-8,
+                           coarse_solve="GMRES", dtype=np.float64,
+                           engine="grid")
+    state = mg_setup(A, M, cfg, rp)
+    assert isinstance(state.hier, GridHierarchy)
+    b = np.random.rand(A.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg(state, b)
+    # the 10-step FGMRES coarsest solve is inexact, so the outer iteration
+    # floors well above machine precision (reference contract for the GMRES
+    # coarsest is 5e-3, testGMGRAPforPoisson.jl:40)
+    assert info["relres"] < 1e-3
+
+
+def test_grid_engine_fallback_and_force():
+    # even node count -> matrix-free transfers ineligible -> auto falls back
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [15, 15])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 0.01 * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
+                           dtype=np.float64)
+    state = mg_setup(L, M, cfg, rp)
+    assert not isinstance(state.hier, GridHierarchy)
+    cfg_g, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
+                             dtype=np.float64, engine="grid")
+    with pytest.raises(ValueError):
+        mg_setup(L, M, cfg_g, rp)
+
+
+def test_grid_engine_used_by_default_on_structured():
+    M, L = _poisson(32, 2)
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           dtype=np.float32)
+    state = mg_setup(L, M, cfg, rp)
+    assert isinstance(state.hier, GridHierarchy)
