@@ -105,8 +105,12 @@ def main():
     b = jnp.asarray(b64.astype(dtype))[:, None]
     x0 = jnp.zeros_like(b)
 
-    dev_ms = _chain_timer(lambda h, bb, xx: recursive_cycle(cfg, h, bb, xx),
-                          state.hier, b, x0)
+    # grid engine: time on grid-form fields, the layout the solve loop uses
+    from mgtpu.cycle.grid_cycle import grid_cycle
+    from mgtpu.ops.grid_stencil import flat_to_grid
+    bg = flat_to_grid(b, state.hier.fine_grid)
+    dev_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+                          state.hier, bg, jnp.zeros_like(bg))
 
     # numerical check: relres after 20 cycles
     cyc = make_cycle_fn(cfg)

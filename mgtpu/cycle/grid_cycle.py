@@ -30,6 +30,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..ops.grid_stencil import (GridStencil, grid_stencil_from_csr,
+                                compress_grid_stencil,
                                 flat_to_grid, grid_to_flat)
 from .relax import fgmres_relaxation
 
@@ -40,11 +41,12 @@ __all__ = [
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["A", "d"], meta_fields=[])
+                   data_fields=["A", "d", "P1"], meta_fields=[])
 @dataclass(frozen=True)
 class GridLevel:
     A: GridStencil
     d: jax.Array | None      # pointwise relax diagonal, grid-shaped
+    P1: tuple | None         # per-grid-axis dense 1D prolongation (f_a, c_a)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -90,47 +92,36 @@ class GridHierarchy:
 
 
 # ---------------------------------------------------------------------------
-# matrix-free tensor-product full-weighting transfers
+# tensor-product full-weighting transfers as per-axis 1D matmuls
+#
+# The separable [0.5, 1, 0.5] smooth + resample along one grid axis IS a small
+# dense matmul with the 1D fw_interp factor (f_a x c_a).  On TPU this is the
+# fastest form by far: stride-2 resampling in the lane dimension and
+# interior-padding upsampling are slow relayouts (~25x slower measured at
+# 1025^2), while the MXU does the contraction at full speed.  The extra
+# products are exact zeros, so the result is bitwise the sparse operator's.
 # ---------------------------------------------------------------------------
 
-def _smooth_axis(x: jax.Array, axis: int) -> jax.Array:
-    """[0.5, 1, 0.5] smoothing along `axis`, zero-extended at the ends."""
-    n = x.shape[axis]
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (1, 1)
-    xp = jnp.pad(x, pad)
-
-    def sl(start):
-        s = [slice(None)] * x.ndim
-        s[axis] = slice(start, start + n)
-        return xp[tuple(s)]
-
-    return 0.5 * sl(0) + sl(1) + 0.5 * sl(2)
+def _axis_matmul(x: jax.Array, W: jax.Array, axis: int) -> jax.Array:
+    """Contract `axis` of x with W (in, out)."""
+    xl = jnp.moveaxis(x, axis, -1)
+    y = xl @ W
+    return jnp.moveaxis(y, -1, axis)
 
 
-def grid_restrict(rg: jax.Array, dim: int) -> jax.Array:
-    """R r on the grid: per-axis smooth + downsample, scaled by 0.5^dim.
-
-    rg: (m, *fine_grid) with every fine extent odd; returns (m, *coarse_grid).
-    Equals (0.5^dim * P^T) r for the fw_interp prolongation.
-    """
+def grid_restrict(rg: jax.Array, P1: tuple) -> jax.Array:
+    """R r = 0.5^dim * (kron_a P1_a)^T r; rg is (m, *fine_grid)."""
     y = rg
-    for a in range(1, dim + 1):
-        y = _smooth_axis(y, a)
-        s = [slice(None)] * y.ndim
-        s[a] = slice(0, None, 2)
-        y = y[tuple(s)]
-    return (0.5 ** dim) * y
+    for a, W in enumerate(P1):
+        y = _axis_matmul(y, W, 1 + a)
+    return (0.5 ** len(P1)) * y
 
 
-def grid_prolong(xc: jax.Array, dim: int) -> jax.Array:
-    """P xc on the grid: per-axis upsample (zeros at odd nodes) + smooth."""
+def grid_prolong(xc: jax.Array, P1: tuple) -> jax.Array:
+    """P xc = (kron_a P1_a) xc; xc is (m, *coarse_grid)."""
     y = xc
-    for a in range(1, dim + 1):
-        cfgpad = [(0, 0, 0)] * y.ndim
-        cfgpad[a] = (0, 0, 1)          # interior padding: nc -> 2*nc - 1
-        y = jax.lax.pad(y, jnp.zeros((), y.dtype), cfgpad)
-        y = _smooth_axis(y, a)
+    for a, W in enumerate(P1):
+        y = _axis_matmul(y, W.T, 1 + a)
     return y
 
 
@@ -160,13 +151,12 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
 
     lvl = gh.levels[level]
     matvec = lvl.A.matvec
-    dim = len(lvl.A.grid)
     with jax.named_scope(f"gmg_level{level}"):
         r = b - matvec(x)
         x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
 
         r = b - matvec(x)
-        bc = grid_restrict(r, dim)
+        bc = grid_restrict(r, lvl.P1)
         if level == nlev - 2:
             with jax.named_scope("gmg_coarsest"):
                 xc = gh.coarse.solve(bc)
@@ -183,11 +173,17 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
             elif ctype == "F":
                 xc = grid_cycle(cfg, gh, bc, xc, level + 1, "V")
 
-        x = x + grid_prolong(xc, dim)
+        x = x + grid_prolong(xc, lvl.P1)
 
         r = b - matvec(x)
         x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_post[level])
     return x
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def grid_cycle_jit(cfg, gh: GridHierarchy, b, x):
+    """Jitted single cycle on grid fields (m, *grid)."""
+    return grid_cycle(cfg, gh, b, x)
 
 
 def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
@@ -219,20 +215,36 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
     if cfg.coarse_solve not in ("lu", "gmres") or state.coarse_solver is not None:
         raise ValueError("grid engine supports lu/gmres coarsest solves")
 
+    from ..setup import transfers as tr
+
     levels = []
     for l in range(state.num_levels):
         mesh = state.meshes[l]
         nodes = [int(v) + 1 for v in np.asarray(mesh.n).ravel()]
-        if l < state.num_levels - 1 and any(nn % 2 == 0 for nn in nodes):
-            raise ValueError("matrix-free transfers need odd node counts")
         A = grid_stencil_from_csr(state.As[l], nodes, dtype=cfg.dtype)
+        A_const = compress_grid_stencil(A)
+        if A_const is not None:
+            A = A_const
         d = None
+        P1 = None
         if l < state.num_levels - 1:
             rs = relax_states[l]
             if not hasattr(rs, "d"):
                 raise ValueError("grid engine needs a diagonal relax state")
             d = jnp.asarray(rs.d).reshape(A.grid)
-        levels.append(GridLevel(A, d))
+            # dense per-axis 1D transfer factors; verify their Kronecker
+            # product is exactly the hierarchy's stored prolongation so the
+            # matmul transfers are bitwise-faithful to the host setup
+            p1s = [tr.fw_interp_1d(nn)[0] for nn in nodes]
+            K = p1s[0]
+            for pm in p1s[1:]:
+                K = sp.kron(pm, K, format="csr")
+            if (K != state.Ps[l]).nnz != 0:
+                raise ValueError("hierarchy transfers are not the separable "
+                                 "full-weighting factors")
+            P1 = tuple(jnp.asarray(np.asarray(p.todense(), dtype=cfg.dtype))
+                       for p in reversed(p1s))
+        levels.append(GridLevel(A, d, P1))
 
     A_c = state.As[-1]
     grid_c = levels[-1].A.grid

@@ -128,15 +128,33 @@ def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
     dim = len(node_counts)
     strides = np.concatenate([[1], np.cumprod(node_counts[:-1])]).astype(np.int64)
 
-    # map every representable offset to its per-axis decomposition
-    shift_range = range(-max_shift, max_shift + 1)
+    # map every representable offset to its per-axis decomposition; prefer the
+    # smallest shift radius that covers the matrix (radius 1 stays unambiguous
+    # down to 3-node grids, where radius 2 aliases)
     decomp: dict[int, tuple[int, ...]] = {}
-    for combo in itertools.product(shift_range, repeat=dim):
-        off = int(sum(c * s for c, s in zip(combo, strides)))
-        if off in decomp:
-            raise ValueError("ambiguous stencil decomposition (grid too small)")
-        # grid axis order is reversed (slowest mesh dim first)
-        decomp[off] = tuple(reversed(combo))
+    last_err = None
+    for radius in range(1, max_shift + 1):
+        cand: dict[int, tuple[int, ...]] = {}
+        ambiguous = False
+        for combo in itertools.product(range(-radius, radius + 1), repeat=dim):
+            off = int(sum(c * s for c, s in zip(combo, strides)))
+            if off in cand:
+                ambiguous = True
+                break
+            # grid axis order is reversed (slowest mesh dim first)
+            cand[off] = tuple(reversed(combo))
+        if ambiguous:
+            last_err = "ambiguous stencil decomposition (grid too small)"
+            break
+        decomp = cand
+        Ar = A.tocoo()
+        if all(int(o) in decomp
+               for o in np.unique(Ar.col.astype(np.int64)
+                                  - Ar.row.astype(np.int64))):
+            break
+        last_err = "matrix offsets exceed the stencil shift radius"
+    if not decomp:
+        raise ValueError(last_err)
 
     Ac = A.tocoo()
     off_all = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
@@ -195,3 +213,157 @@ def grid_stencil_matvec(coeff: jax.Array,
             xs = _shift(xs, xs.ndim - g + a, da, grid[a])
         y = y + coeff[k] * xs
     return y
+
+
+# ---------------------------------------------------------------------------
+# constant-interior compression
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["const", "strips"],
+                   meta_fields=["offsets", "grid", "boxes"])
+@dataclass(frozen=True)
+class ConstGridStencil:
+    """Stencil whose coefficients are constant away from the grid boundary.
+
+    Constant-coefficient discretizations (Poisson, shifted Laplacians, ...)
+    and ALL their full-weighting Galerkin coarsenings deviate from a constant
+    interior stencil only within a 2-node band at the grid boundary.  Storing
+    one scalar per diagonal plus the boundary-band corrections removes the
+    dominant HBM traffic of the stencil SpMV (the (ndiags, *grid) coefficient
+    read) — the apply reads x once, writes y once, and touches O(surface)
+    correction data.
+
+    const:  (ndiags,) interior coefficients.
+    strips: per boundary box, (ndiags, *box_size) actual coefficients on the
+            box (zeros where the matrix entry does not exist).
+    boxes:  per strip, (start, size) index boxes — a disjoint cover of the
+            boundary band, two slabs per grid axis with each axis's slabs
+            trimmed to the interior of the earlier axes (the assembly order
+            the matvec's region concatenation relies on).
+    """
+    const: jax.Array
+    strips: tuple
+    offsets: tuple[tuple[int, ...], ...]
+    grid: tuple[int, ...]
+    boxes: tuple
+
+    @property
+    def dtype(self):
+        return self.const.dtype
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        n = int(np.prod(self.grid))
+        return (n, n)
+
+    @property
+    def nnz(self) -> int:
+        # logical stencil size (for operator-complexity accounting)
+        return int(len(self.offsets) * np.prod(self.grid))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        g = len(self.grid)
+        if x.ndim <= 2 and (g != x.ndim or x.shape != self.grid):
+            squeeze = x.ndim == 1
+            x2 = x[:, None] if squeeze else x
+            yg = const_grid_stencil_matvec(
+                self.const, self.strips, self.offsets, self.grid, self.boxes,
+                flat_to_grid(x2, self.grid))
+            y = grid_to_flat(yg)
+            return y[:, 0] if squeeze else y
+        return const_grid_stencil_matvec(self.const, self.strips,
+                                         self.offsets, self.grid, self.boxes, x)
+
+    def to_dense_stencil(self) -> GridStencil:
+        nd = len(self.offsets)
+        coeff = np.tile(np.asarray(self.const).reshape(
+            (nd,) + (1,) * len(self.grid)), (1,) + self.grid)
+        for (start, size), strip in zip(self.boxes, self.strips):
+            sl = tuple(slice(s, s + z) for s, z in zip(start, size))
+            coeff[(slice(None),) + sl] = np.asarray(strip)
+        return GridStencil(jnp.asarray(coeff), self.offsets, self.grid)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        return self.to_dense_stencil().to_scipy()
+
+    def astype(self, dtype) -> "ConstGridStencil":
+        return ConstGridStencil(self.const.astype(dtype),
+                                tuple(s.astype(dtype) for s in self.strips),
+                                self.offsets, self.grid, self.boxes)
+
+
+def compress_grid_stencil(gs: GridStencil, width: int = 2,
+                          rtol: float = 1e-13) -> ConstGridStencil | None:
+    """Compress to constant-interior form, or None when not applicable."""
+    grid = gs.grid
+    dim = len(grid)
+    if any(n < 3 * width for n in grid):
+        return None
+    coeff = np.asarray(gs.coeff)
+    center = tuple(n // 2 for n in grid)
+    c = coeff[(slice(None),) + center]
+    delta = coeff - c.reshape((-1,) + (1,) * dim)
+    interior = (slice(None),) + tuple(slice(width, n - width) for n in grid)
+    scale = max(float(np.abs(coeff).max()), 1e-300)
+    if float(np.abs(delta[interior]).max()) > rtol * scale:
+        return None
+
+    boxes, strips = [], []
+    for a in range(dim):
+        start = [0] * dim
+        size = list(grid)
+        for prev in range(a):       # stay disjoint from earlier axes' slabs
+            start[prev] = width
+            size[prev] = grid[prev] - 2 * width
+        for s0 in (0, grid[a] - width):
+            st, sz = list(start), list(size)
+            st[a], sz[a] = s0, width
+            boxes.append((tuple(st), tuple(sz)))
+            sl = tuple(slice(b, b + z) for b, z in zip(st, sz))
+            strips.append(jnp.asarray(coeff[(slice(None),) + sl]))
+    return ConstGridStencil(jnp.asarray(c), tuple(strips), gs.offsets,
+                            grid, tuple(boxes))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "grid", "boxes"))
+def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x):
+    """y = A x for a constant-interior stencil; x is (..., *grid).
+
+    The output is assembled from disjoint regions — two boundary slabs per
+    axis plus the constant-coefficient interior — concatenated along each
+    axis, so every region is written exactly once (a scatter-add of the
+    boundary corrections would read-modify-write the full output per slab,
+    costing more than the coefficient traffic it saves).
+    """
+    g = len(grid)
+    nb = x.ndim - g
+    dt = jnp.result_type(const, x)
+    lo = [max(0, -min(off[a] for off in offsets)) for a in range(g)]
+    hi = [max(0, max(off[a] for off in offsets)) for a in range(g)]
+    pad = [(0, 0)] * nb + [(lo[a], hi[a]) for a in range(g)]
+    xp = jnp.pad(x, pad)
+
+    def apply_box(start, size, coeffs):
+        acc = jnp.zeros(x.shape[:nb] + tuple(size), dtype=dt)
+        for k, off in enumerate(offsets):
+            st = [0] * nb + [lo[a] + start[a] + off[a] for a in range(g)]
+            sz = list(x.shape[:nb]) + list(size)
+            acc = acc + coeffs[k] * jax.lax.dynamic_slice(xp, st, sz)
+        return acc
+
+    def assemble(a, start, size):
+        if a == g:                       # fully-trimmed interior region
+            return apply_box(start, size, const)
+        (lo_start, lo_size), lo_strip = boxes[2 * a], strips[2 * a]
+        (hi_start, hi_size), hi_strip = boxes[2 * a + 1], strips[2 * a + 1]
+        w = lo_size[a]
+        mid_start, mid_size = list(start), list(size)
+        mid_start[a] = start[a] + w
+        mid_size[a] = size[a] - 2 * w
+        mid = assemble(a + 1, mid_start, mid_size)
+        low = apply_box(lo_start, lo_size, lo_strip)
+        high = apply_box(hi_start, hi_size, hi_strip)
+        return jnp.concatenate([low, mid, high], axis=nb + a)
+
+    return assemble(0, [0] * g, list(grid))

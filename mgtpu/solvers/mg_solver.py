@@ -26,6 +26,25 @@ def _as_2d(v):
     return (v[:, None], True) if v.ndim == 1 else (v, False)
 
 
+def _cycle_runtime(cfg, hier):
+    """Engine-specific vector runtime for the solve loop.
+
+    The grid engine keeps solve-loop state in (m, *grid) form — flat (n, 1)
+    vectors waste 127/128 TPU lanes on every elementwise op, so converting
+    once at the loop boundary instead of every cycle matters.
+    Returns (to_internal, to_flat, cycle_fn, matvec).
+    """
+    from ..cycle.grid_cycle import GridHierarchy, grid_cycle_jit
+    from ..ops.grid_stencil import flat_to_grid, grid_to_flat
+    if isinstance(hier, GridHierarchy):
+        grid = hier.fine_grid
+        return (lambda v: flat_to_grid(v, grid), grid_to_flat,
+                lambda h, b, x: grid_cycle_jit(cfg, h, b, x),
+                hier.levels[0].A.matvec)
+    cycle = make_cycle_fn(cfg)
+    return (lambda v: v, lambda v: v, cycle, hier.levels[0].A.matvec)
+
+
 def get_afun(A_dev):
     """Matvec closure over a device matrix (reference getAfun, SolveFuncs.jl:65-71)."""
     return A_dev.matvec
@@ -44,18 +63,19 @@ def solve_mg(state: MGState, b, x=None, verbose: bool = False):
     b2, squeeze = _as_2d(jnp.asarray(b, dtype=cfg.dtype))
     x2 = (jnp.zeros_like(b2) if x is None
           else _as_2d(jnp.asarray(x, dtype=cfg.dtype))[0])
-    cycle = make_cycle_fn(cfg)
-    matvec = hier.levels[0].A.matvec
+    nrhs = b2.shape[1]
+    to_internal, to_flat, cycle, matvec = _cycle_runtime(cfg, hier)
+    bv, xv = to_internal(b2), to_internal(x2)
 
-    res0 = float(jnp.linalg.norm(b2 - matvec(x2))) if float(
-        jnp.linalg.norm(x2)) > 0 else float(jnp.linalg.norm(b2))
+    res0 = float(jnp.linalg.norm(bv - matvec(xv))) if float(
+        jnp.linalg.norm(xv)) > 0 else float(jnp.linalg.norm(bv))
     res = res0
     resvec = [res0]
     iters = 0
     for count in range(cfg.max_outer_iter):
-        x2 = cycle(hier, b2, x2)
+        xv = cycle(hier, bv, xv)
         res_prev = res
-        res = float(jnp.linalg.norm(b2 - matvec(x2)))
+        res = float(jnp.linalg.norm(bv - matvec(xv)))
         resvec.append(res)
         iters += 1
         if verbose:
@@ -63,8 +83,9 @@ def solve_mg(state: MGState, b, x=None, verbose: bool = False):
                   f"Convergence factor: {res / max(res_prev, 1e-300):.3f}")
         if res / max(res0, 1e-300) < cfg.relative_tol:
             break
-    state.n_iter += iters * b2.shape[1]
+    state.n_iter += iters * nrhs
     state.time_solve += time.perf_counter() - t0
+    x2 = to_flat(xv)
     x_out = x2[:, 0] if squeeze else x2
     return x_out, {"iters": iters, "relres": res / max(res0, 1e-300),
                    "resvec": np.array(resvec)}
@@ -78,13 +99,14 @@ def solve_mg_jit(state: MGState, b, x=None, num_cycles: int | None = None):
     x2 = (jnp.zeros_like(b2) if x is None
           else _as_2d(jnp.asarray(x, dtype=cfg.dtype))[0])
     n = cfg.max_outer_iter if num_cycles is None else num_cycles
-    cycle = make_cycle_fn(cfg)
+    to_internal, to_flat, cycle, _ = _cycle_runtime(cfg, hier)
 
     @jax.jit
     def run(hier, b2, x2):
+        bv, xv = to_internal(b2), to_internal(x2)
         for _ in range(n):
-            x2 = cycle(hier, b2, x2)
-        return x2
+            xv = cycle(hier, bv, xv)
+        return to_flat(xv)
 
     x2 = run(hier, b2, x2)
     return x2[:, 0] if squeeze else x2

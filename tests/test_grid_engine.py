@@ -54,17 +54,22 @@ def test_grid_transfers_match_fw_matrices(dim, n):
                            nu_pre=1, nu_post=1, dtype=np.float64,
                            engine="flat")
     state = mg_setup(L, M, cfg, rp)
+    cfg_g, _ = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                            nu_pre=1, nu_post=1, dtype=np.float64,
+                            engine="grid")
+    st_g = mg_setup(L, M, cfg_g, rp)
+    P1 = st_g.hier.levels[0].P1
     grid_f = tuple(reversed([n + 1] * dim))
     rng = np.random.RandomState(3)
     r = rng.rand(L.shape[0], 2)
     rg = flat_to_grid(jnp.asarray(r), grid_f)
-    bc = np.asarray(grid_to_flat(grid_restrict(rg, dim)))
+    bc = np.asarray(grid_to_flat(grid_restrict(rg, P1)))
     np.testing.assert_allclose(bc, state.Rs[0] @ r, rtol=1e-12, atol=1e-13)
     nc = state.Rs[0].shape[0]
     xc = rng.rand(nc, 2)
     grid_c = tuple(reversed([n // 2 + 1] * dim))
     xf = np.asarray(grid_to_flat(grid_prolong(
-        flat_to_grid(jnp.asarray(xc), grid_c), dim)))
+        flat_to_grid(jnp.asarray(xc), grid_c), P1)))
     np.testing.assert_allclose(xf, state.Ps[0] @ xc, rtol=1e-12, atol=1e-13)
 
 
@@ -124,11 +129,32 @@ def test_grid_engine_gmres_coarse_and_divsiggrad():
     assert info["relres"] < 1e-3
 
 
-def test_grid_engine_fallback_and_force():
-    # even node count -> matrix-free transfers ineligible -> auto falls back
+def test_grid_engine_even_grid_eligible():
+    # even node counts use the identity-tail 1D factors (fw_interp_1d) via the
+    # dense transfer matmuls, so the grid engine applies to them too
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [15, 15])
     L = nodal_laplacian_matrix(M)
     L = (L + 0.01 * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
+                           max_outer_iter=12, relative_tol=1e-8,
+                           dtype=np.float64)
+    state = mg_setup(L, M, cfg, rp)
+    assert isinstance(state.hier, GridHierarchy)
+    b = np.random.rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg(state, b)
+    assert info["relres"] < 1e-8
+
+
+def test_grid_engine_fallback_and_force():
+    # a long-range coupling breaks the stencil decomposition -> auto falls
+    # back to the flat engine; engine="grid" refuses
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [16, 16])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 0.01 * sp.identity(L.shape[0])).tolil()
+    L[0, L.shape[0] // 2] = 0.3
+    L[L.shape[0] // 2, 0] = 0.3
+    L = L.tocsr()
     cfg, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
                            dtype=np.float64)
     state = mg_setup(L, M, cfg, rp)
@@ -145,3 +171,41 @@ def test_grid_engine_used_by_default_on_structured():
                            dtype=np.float32)
     state = mg_setup(L, M, cfg, rp)
     assert isinstance(state.hier, GridHierarchy)
+
+
+@pytest.mark.parametrize("dim,n", [(2, 16), (3, 8)])
+def test_const_stencil_compression_exact(dim, n):
+    from mgtpu.ops.grid_stencil import compress_grid_stencil, ConstGridStencil
+    M, L = _poisson(n, dim)
+    S = grid_stencil_from_csr(L, [n + 1] * dim)
+    C = compress_grid_stencil(S)
+    assert isinstance(C, ConstGridStencil)
+    x = np.random.rand(L.shape[0], 2)
+    np.testing.assert_allclose(np.asarray(C.matvec(jnp.asarray(x))),
+                               L @ x, rtol=1e-12, atol=1e-12)
+    assert abs(C.to_scipy() - L).max() < 1e-13
+    # grid-form input too
+    xg = flat_to_grid(jnp.asarray(x), S.grid)
+    np.testing.assert_allclose(np.asarray(grid_to_flat(C.matvec(xg))),
+                               L @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_const_stencil_rejects_variable_coefficients():
+    from mgtpu.ops.grid_stencil import compress_grid_stencil
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [16, 16])
+    sig = np.exp(np.random.randn(16 * 16))
+    A = nodal_div_sig_grad_matrix(M, sig).tocsr()
+    S = grid_stencil_from_csr(A, [17, 17])
+    assert compress_grid_stencil(S) is None
+
+
+def test_const_compression_active_in_hierarchy():
+    from mgtpu.ops.grid_stencil import ConstGridStencil
+    M, L = _poisson(32, 2)
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           dtype=np.float64, engine="grid")
+    state = mg_setup(L, M, cfg, rp)
+    # constant-coefficient problem: every level compresses (incl. Galerkin
+    # coarsenings, whose boundary deviations stay within the 2-node band)
+    for lvl in state.hier.levels:
+        assert isinstance(lvl.A, ConstGridStencil)
