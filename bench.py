@@ -120,6 +120,22 @@ def main():
     relres = float(np.linalg.norm(
         b64 - L.astype(np.float64) @ np.asarray(x[:, 0], dtype=np.float64)))
 
+    # time-to-1e-8: mixed-precision iterative refinement (f64 residual around
+    # the f32 cycle; BASELINE.md end-to-end protocol)
+    from mgtpu.solvers.mg_solver import solve_mg_refined, _high_precision_fine_op
+    mv64 = _high_precision_fine_op(state, np.float64)
+    bg64 = bg.astype(np.float64)
+
+    def refined_iter(h, bb, xx):
+        r = bb - mv64(xx)
+        z = grid_cycle(cfg, h, r.astype(dtype), jnp.zeros_like(r, dtype))
+        return xx + z.astype(np.float64)
+
+    refined_ms = _chain_timer(refined_iter, state.hier, bg64,
+                              jnp.zeros_like(bg64), ks=(2, 12), reps=3)
+    _, rinfo = solve_mg_refined(state, b64, tol=1e-8)
+    iters_1e8 = int(rinfo["iters"])
+
     # the flat (ELL/DIA) engine, for the record
     cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
                                relax_param=0.8, nu_pre=1, nu_post=1,
@@ -153,6 +169,9 @@ def main():
             "host_cpu_vcycle_ms": round(host_ms, 3),
             "flat_engine_vcycle_ms": round(flat_ms, 3),
             "relres_after_20_cycles": relres,
+            "refined_iter_ms": round(refined_ms, 4),
+            "iters_to_relres_1e-8": iters_1e8,
+            "time_to_1e-8_ms": round(refined_ms * iters_1e8, 3),
             "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
         },

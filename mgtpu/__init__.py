@@ -17,7 +17,8 @@ from .setup.hierarchy import (MGConfig, get_mg_param, mg_setup, MGState,
                               Hierarchy, Level, OperatorConstructor,
                               transpose_hierarchy, replace_matrix_in_hierarchy,
                               copy_solver, clear, hierarchy_exists)
-from .solvers.mg_solver import (solve_mg, solve_mg_jit, get_mg_preconditioner,
+from .solvers.mg_solver import (solve_mg, solve_mg_jit, solve_mg_refined,
+                                get_mg_preconditioner,
                                 get_afun, solve_cg_mg, solve_bicgstab_mg,
                                 solve_gmres_mg)
 from .solvers.wrappers import MGSolver, SAAMGSolver, ClassicalAMGSolver

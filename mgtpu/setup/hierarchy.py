@@ -175,6 +175,7 @@ class MGState:
     Rs: list            # host CSR restrictions (fine -> coarse)
     meshes: list
     hier: Hierarchy | None = None
+    A_input: Any = None            # fine operator at its ORIGINAL precision
     coarse_solver: Any = None      # external coarse solver template, if any
     do_transpose: int = 0
     nnz_per_level: list = field(default_factory=list)
@@ -312,6 +313,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
     else:
         ctor = None
         A = sp.csr_matrix(A_or_ctor)
+    A_input = A
     A = A.astype(cfg.dtype)
 
     rp_arr = _per_level_relax_param(relax_param, cfg.levels)
@@ -368,7 +370,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
         print(f"mg_setup: operator complexity = {cop / As[0].nnz:.3f}")
 
     state = MGState(cfg, relax_param, As, Ps, Rs, meshes,
-                    coarse_solver=coarse_solver)
+                    A_input=A_input, coarse_solver=coarse_solver)
     t0 = time.perf_counter()
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     if verbose:
@@ -391,6 +393,7 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
     t_all = time.perf_counter()
     rp_arr = _per_level_relax_param(state.relax_param, cfg.levels)
     As = [sp.csr_matrix(A).astype(cfg.dtype)]
+    state.A_input = sp.csr_matrix(A)
     relax_states = []
     cop = As[0].nnz
     for l in range(state.num_levels - 1):
@@ -404,6 +407,7 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
     state.As = As
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     state.do_transpose = 0
+    state._hi_op_cache = None
     state.time_setup += time.perf_counter() - t_all
     return state
 
@@ -418,6 +422,8 @@ def transpose_hierarchy(state: MGState, verbose: bool = False) -> MGState:
             "(same restriction as the reference, MGsetup.jl:288-291)")
     t_all = time.perf_counter()
     state.As = [a.conj().T.tocsr() for a in state.As]
+    if state.A_input is not None:
+        state.A_input = state.A_input.conj().T.tocsr()
     new_Ps = [r.conj().T.tocsr() for r in state.Rs]
     new_Rs = [p.conj().T.tocsr() for p in state.Ps]
     state.Ps, state.Rs = new_Ps, new_Rs
@@ -429,6 +435,7 @@ def transpose_hierarchy(state: MGState, verbose: bool = False) -> MGState:
         relax_states.append(_setup_relax(state.As[l], cfg, rp_arr[l], mesh_l))
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     state.do_transpose = (state.do_transpose + 1) % 2
+    state._hi_op_cache = None
     state.time_setup += time.perf_counter() - t_all
     return state
 

@@ -209,3 +209,25 @@ def test_const_compression_active_in_hierarchy():
     # coarsenings, whose boundary deviations stay within the 2-node band)
     for lvl in state.hier.levels:
         assert isinstance(lvl.A, ConstGridStencil)
+
+
+def test_mixed_precision_refinement_reaches_f64_accuracy():
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    M, L = _poisson(64, 2)
+    cfg, rp = get_mg_param(levels=4, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, max_outer_iter=40,
+                           dtype=np.float32)
+    state = mg_setup(L, M, cfg, rp)
+    b = np.random.rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    # plain f32 cycling floors near 1e-7; refinement must go below 1e-10
+    x, info = solve_mg_refined(state, b, tol=1e-10)
+    assert info["relres"] < 1e-10
+    assert np.linalg.norm(L @ np.asarray(x, dtype=np.float64) - b) < 2e-10
+    # flat engine path too
+    cfg_f, rp_f = get_mg_param(levels=4, relax_type="jacobi", relax_param=0.8,
+                               nu_pre=1, nu_post=1, max_outer_iter=40,
+                               dtype=np.float32, engine="flat")
+    state_f = mg_setup(L, M, cfg_f, rp_f)
+    xf, info_f = solve_mg_refined(state_f, b, tol=1e-10)
+    assert info_f["relres"] < 1e-10
