@@ -81,6 +81,9 @@ def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
 
 def main():
     import jax
+    # the refinement metric needs REAL float64 residuals (without x64, f64
+    # casts silently stay f32 and the 1e-8 claim would be fiction)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import scipy.sparse as sp
     from mgtpu import get_mg_param, mg_setup, get_regular_mesh, make_cycle_fn

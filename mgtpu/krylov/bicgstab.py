@@ -3,16 +3,15 @@
 Replaces KrylovMethods.bicgstb/blockBiCGSTB used by the reference drivers
 (reference: src/Multigrid/SolveFuncs.jl:85-99).  Per-column batched scalar
 recurrences with convergence masking, left preconditioning (the reference
-passes the MG cycle as M1).
+passes the MG cycle as M1).  Supports the leading-batch (m, *space) layout
+via `batch_leading=True` (see krylov._layout).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-
-def _col_dot(a, b):
-    return jnp.sum(a.conj() * b, axis=0)
+from ._layout import Layout
 
 
 def _safe_div(num, den):
@@ -20,21 +19,23 @@ def _safe_div(num, den):
 
 
 def bicgstab(matvec, b, prec=None, x0=None, tol: float = 1e-6,
-             max_iter: int = 100):
-    """Solve A x = b with preconditioned BiCGSTAB. b: (n,) or (n, m)."""
-    squeeze = b.ndim == 1
+             max_iter: int = 100, batch_leading: bool = False):
+    """Solve A x = b with preconditioned BiCGSTAB.
+
+    b: (n,), (n, m), or (m, *space) with batch_leading."""
+    squeeze = b.ndim == 1 and not batch_leading
     B = b[:, None] if squeeze else b
     X0 = (jnp.zeros_like(B) if x0 is None
           else (x0[:, None] if squeeze else x0))
     M = (lambda r: r) if prec is None else prec
+    lay = Layout(B, batch_leading)
 
-    bnorm = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)
+    bnorm = jnp.maximum(lay.norm(B), 1e-300)
     R0 = B - matvec(X0)
     Rhat = R0
-    resvec = jnp.zeros((max_iter + 1, B.shape[1]), dtype=bnorm.dtype)
-    resvec = resvec.at[0].set(jnp.linalg.norm(R0, axis=0))
-    m = B.shape[1]
-    ones = jnp.ones((m,), dtype=B.dtype)
+    resvec = jnp.zeros((max_iter + 1, lay.nbatch), dtype=bnorm.dtype)
+    resvec = resvec.at[0].set(lay.norm(R0))
+    ones = jnp.ones((lay.nbatch,), dtype=B.dtype)
     zerosv = jnp.zeros_like(B)
 
     def cond(state):
@@ -43,20 +44,20 @@ def bicgstab(matvec, b, prec=None, x0=None, tol: float = 1e-6,
 
     def body(state):
         k, X, R, P, V, rho, alpha, omega, resvec, active = state
-        rho_new = _col_dot(Rhat, R)
+        rho_new = lay.dot(Rhat, R)
         beta = _safe_div(rho_new * alpha, rho * omega)
-        P = R + (P - V * omega[None, :]) * beta[None, :]
+        P = R + lay.scale(P - lay.scale(V, omega), beta)
         Ph = M(P)
         V = matvec(Ph)
-        alpha = _safe_div(rho_new, _col_dot(Rhat, V))
-        S = R - V * alpha[None, :]
+        alpha = _safe_div(rho_new, lay.dot(Rhat, V))
+        S = R - lay.scale(V, alpha)
         Sh = M(S)
         T = matvec(Sh)
-        omega = _safe_div(_col_dot(T, S), _col_dot(T, T))
-        upd = Ph * alpha[None, :] + Sh * omega[None, :]
-        X = X + jnp.where(active[None, :], upd, 0)
-        R = S - T * omega[None, :]
-        rn = jnp.linalg.norm(R, axis=0)
+        omega = _safe_div(lay.dot(T, S), lay.dot(T, T))
+        upd = lay.scale(Ph, alpha) + lay.scale(Sh, omega)
+        X = X + lay.scale(upd, active.astype(B.dtype))
+        R = S - lay.scale(T, omega)
+        rn = lay.norm(R)
         resvec = resvec.at[k + 1].set(jnp.where(active, rn, resvec[k]))
         active = jnp.logical_and(active, rn / bnorm >= tol)
         return (k + 1, X, R, P, V, rho_new, alpha, omega, resvec, active)

@@ -221,28 +221,61 @@ def get_mg_preconditioner(state: MGState, outer_dtype=None):
 # ---------------------------------------------------------------------------
 
 def _krylov_setup(state: MGState, b, x0):
+    """Engine-aware Krylov operands.
+
+    For the grid engine the whole Krylov iteration runs on (m, *grid) fields
+    (lane-efficient, zero conversions per preconditioner application, and the
+    mixed-precision residual matvec at the outer dtype stays a stencil apply);
+    the flat path keeps the reference's (n, m) column convention.
+    """
     cfg = state.config
+    hier = state.hier
     b2, squeeze = _as_2d(jnp.asarray(b))
     x2 = (jnp.zeros_like(b2) if x0 is None
           else _as_2d(jnp.asarray(x0))[0])
-    matvec = state.hier.levels[0].A.matvec
+
+    from ..cycle.grid_cycle import GridHierarchy, grid_cycle_jit
+    if isinstance(hier, GridHierarchy):
+        from ..ops.grid_stencil import flat_to_grid, grid_to_flat
+        grid = hier.fine_grid
+        bv, xv = flat_to_grid(b2, grid), flat_to_grid(x2, grid)
+        mixed = np.dtype(b2.dtype) != np.dtype(cfg.dtype)
+        matvec = (_high_precision_fine_op(state, b2.dtype) if mixed
+                  else hier.levels[0].A.matvec)
+
+        def prec(r):
+            rl = r.astype(cfg.dtype) if mixed else r
+            z = grid_cycle_jit(cfg, hier, rl, jnp.zeros_like(rl))
+            return z.astype(r.dtype) if mixed else z
+
+        def to_flat(Xv):
+            X2 = grid_to_flat(Xv)
+            return X2[:, 0] if squeeze else X2
+
+        return cfg, bv, xv, matvec, prec, to_flat, True
+
+    matvec = hier.levels[0].A.matvec
     prec = get_mg_preconditioner(state, outer_dtype=b2.dtype)
-    return cfg, b2, x2, squeeze, matvec, prec
+
+    def to_flat(X2):
+        return X2[:, 0] if squeeze else X2
+
+    return cfg, b2, x2, matvec, prec, to_flat, False
 
 
 def solve_cg_mg(state: MGState, b, x0=None, verbose: bool = False):
     """MG-preconditioned CG (reference solveCG_MG, SolveFuncs.jl:103-116)."""
     from ..krylov.cg import pcg
     t0 = time.perf_counter()
-    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
-    x, info = pcg(matvec, b2, prec=prec, x0=x2, tol=cfg.relative_tol,
-                  max_iter=cfg.max_outer_iter)
+    cfg, bv, xv, matvec, prec, to_flat, lead = _krylov_setup(state, b, x0)
+    x, info = pcg(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
+                  max_iter=cfg.max_outer_iter, batch_leading=lead)
     if verbose:
         print(f"solve_cg_mg: {int(info['iters'])} iters, relres "
               f"{float(jnp.max(info['relres'])):.3e}")
-    state.n_iter += int(info["iters"]) * b2.shape[1]
+    state.n_iter += int(info["iters"]) * info["relres"].size
     state.time_solve += time.perf_counter() - t0
-    return (x[:, 0] if squeeze else x), info
+    return to_flat(x), info
 
 
 def solve_bicgstab_mg(state: MGState, b, x0=None, verbose: bool = False):
@@ -250,15 +283,15 @@ def solve_bicgstab_mg(state: MGState, b, x0=None, verbose: bool = False):
     SolveFuncs.jl:85-99)."""
     from ..krylov.bicgstab import bicgstab
     t0 = time.perf_counter()
-    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
-    x, info = bicgstab(matvec, b2, prec=prec, x0=x2, tol=cfg.relative_tol,
-                       max_iter=cfg.max_outer_iter)
+    cfg, bv, xv, matvec, prec, to_flat, lead = _krylov_setup(state, b, x0)
+    x, info = bicgstab(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
+                       max_iter=cfg.max_outer_iter, batch_leading=lead)
     if verbose:
         print(f"solve_bicgstab_mg: {int(info['iters'])} iters, relres "
               f"{float(jnp.max(info['relres'])):.3e}")
-    state.n_iter += int(info["iters"]) * b2.shape[1]
+    state.n_iter += int(info["iters"]) * info["relres"].size
     state.time_solve += time.perf_counter() - t0
-    return (x[:, 0] if squeeze else x), info
+    return to_flat(x), info
 
 
 def solve_gmres_mg(state: MGState, b, x0=None, flexible: bool = True,
@@ -268,11 +301,12 @@ def solve_gmres_mg(state: MGState, b, x0=None, flexible: bool = True,
     block variant for multiple RHS."""
     from ..krylov.fgmres import fgmres, block_fgmres
     t0 = time.perf_counter()
-    cfg, b2, x2, squeeze, matvec, prec = _krylov_setup(state, b, x0)
-    fn = block_fgmres if (block and b2.shape[1] > 1) else fgmres
-    x, info = fn(matvec, b2, restart=inner, prec=prec, x0=x2,
+    cfg, bv, xv, matvec, prec, to_flat, lead = _krylov_setup(state, b, x0)
+    nrhs = bv.shape[0] if lead else bv.shape[1]
+    fn = block_fgmres if (block and nrhs > 1) else fgmres
+    x, info = fn(matvec, bv, restart=inner, prec=prec, x0=xv,
                  tol=cfg.relative_tol, max_iter=cfg.max_outer_iter,
-                 flexible=flexible, verbose=verbose)
-    state.n_iter += int(info["iters"]) * b2.shape[1]
+                 flexible=flexible, verbose=verbose, batch_leading=lead)
+    state.n_iter += int(info["iters"]) * nrhs
     state.time_solve += time.perf_counter() - t0
-    return (x[:, 0] if squeeze else x), info
+    return to_flat(x), info

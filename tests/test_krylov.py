@@ -120,3 +120,62 @@ def test_mixed_precision_preconditioner():
     x, info = solve_cg_mg(state, b)
     assert np.asarray(x).dtype == np.float64
     assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-7
+
+
+def test_krylov_batch_leading_layout_matches_columns():
+    """Leading-batch (m, *space) operands give the same iterates as the
+    legacy (n, m) column layout."""
+    import numpy as np
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from mgtpu.krylov import pcg, bicgstab, fgmres
+    from mgtpu.ops.ell import ell_from_scipy
+
+    rng = np.random.RandomState(5)
+    n, m = 300, 3
+    A = sp.random(n, n, density=0.02, random_state=rng)
+    A = (A @ A.T + 10 * sp.identity(n)).tocsr()
+    E = ell_from_scipy(A, dtype=np.float64)
+    B = rng.rand(n, m)
+    d = 1.0 / A.diagonal()
+
+    mv_lead = lambda v: E.matvec(v.T).T
+    prec_cols = lambda r: d[:, None] * r
+    prec_lead = lambda r: d[None, :] * r
+
+    for solver, kw in ((pcg, {}), (bicgstab, {}), (fgmres, {"restart": 15})):
+        xc, ic = solver(E.matvec, jnp.asarray(B), prec=prec_cols,
+                        tol=1e-10, max_iter=60, **kw)
+        xl, il = solver(mv_lead, jnp.asarray(B.T), prec=prec_lead,
+                        tol=1e-10, max_iter=60, batch_leading=True, **kw)
+        np.testing.assert_allclose(np.asarray(xl).T, np.asarray(xc),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_grid_engine_krylov_solves_native():
+    """MG-preconditioned Krylov on the grid engine: no flat vectors in the
+    loop, mixed-precision outer (f64 b over f32 hierarchy)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from mgtpu import (get_mg_param, mg_setup, get_regular_mesh,
+                       solve_cg_mg, solve_gmres_mg, solve_bicgstab_mg)
+    from mgtpu.models.operators import nodal_laplacian_matrix
+    from mgtpu.cycle.grid_cycle import GridHierarchy
+
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [64, 64])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(axis=0).max() * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=4, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, max_outer_iter=30,
+                           relative_tol=1e-9, dtype=np.float32)
+    state = mg_setup(L, M, cfg, rp)
+    assert isinstance(state.hier, GridHierarchy)
+    b = np.random.rand(L.shape[0], 2)
+    b /= np.linalg.norm(b, axis=0)
+    for fn in (solve_cg_mg, solve_gmres_mg, solve_bicgstab_mg):
+        x, info = fn(state, b)
+        res = np.linalg.norm(L @ np.asarray(x, dtype=np.float64) - b)
+        assert res < 1e-7, (fn.__name__, res)
+    # block variant
+    xb, _ = solve_gmres_mg(state, b, block=True)
+    assert np.linalg.norm(L @ np.asarray(xb, dtype=np.float64) - b) < 1e-7
