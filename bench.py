@@ -65,7 +65,9 @@ def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
     @jax.jit
     def run(hier, b, x, k):
         x = lax.fori_loop(0, k, lambda i, xx: cycle(hier, b, xx), x)
-        return jnp.sum(x)              # scalar pulled to host forces completion
+        # scalar pulled to host forces completion
+        return (sum(jnp.sum(t) for t in x) if isinstance(x, tuple)
+                else jnp.sum(x))
 
     for k in ks:                       # compile + warm
         float(run(hier, b, x0, k))
@@ -139,6 +141,28 @@ def main():
     _, rinfo = solve_mg_refined(state, b64, tol=1e-8)
     iters_1e8 = int(rinfo["iters"])
 
+    # mixed-elasticity Vanka cycle (systems grid engine), the reference's
+    # hardest smoother path (testGMGRAPforElasticityVanka workload)
+    from mgtpu.cycle.systems_grid import (SystemsGridHierarchy,
+                                          systems_grid_cycle, block_to_fields)
+    from mgtpu.models.operators import linear_elasticity_operator_mixed
+    Me = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [128, 128])
+    mu = np.ones(Me.num_cells)
+    Ae = linear_elasticity_operator_mixed(Me, mu, mu)
+    Ae = (Ae + 1e-3 * abs(Ae).sum(axis=0).max()
+          * sp.identity(Ae.shape[0])).tocsr()
+    cfg_e, rp_e = get_mg_param(levels=4, relax_type="VankaFaces",
+                               relax_param=0.75, nu_pre=1, nu_post=1,
+                               dtype=dtype,
+                               transfer_type="SystemsFacesMixedLinear")
+    st_e = mg_setup(Ae, Me, cfg_e, rp_e)
+    assert isinstance(st_e.hier, SystemsGridHierarchy)
+    be = block_to_fields(jnp.asarray(
+        rng.rand(Ae.shape[0], 1).astype(dtype)), st_e.hier.fine_grids)
+    vanka_ms = _chain_timer(
+        lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
+        st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
+
     # the flat (ELL/DIA) engine, for the record
     cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
                                relax_param=0.8, nu_pre=1, nu_post=1,
@@ -172,6 +196,7 @@ def main():
             "host_cpu_vcycle_ms": round(host_ms, 3),
             "flat_engine_vcycle_ms": round(flat_ms, 3),
             "relres_after_20_cycles": relres,
+            "elasticity_vanka_cycle_ms": round(vanka_ms, 4),
             "refined_iter_ms": round(refined_ms, 4),
             "iters_to_relres_1e-8": iters_1e8,
             "time_to_1e-8_ms": round(refined_ms * iters_1e8, 3),

@@ -46,6 +46,9 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
     if isinstance(hier, GridHierarchy):
         # structured zero-gather engine; (n, m) <-> (m, *grid) at the boundary
         return grid_cycle_flat(cfg, hier, b, x, ctype)
+    from .systems_grid import SystemsGridHierarchy, systems_grid_cycle_flat
+    if isinstance(hier, SystemsGridHierarchy):
+        return systems_grid_cycle_flat(cfg, hier, b, x, ctype)
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(hier.levels)
     if level == nlev - 1:

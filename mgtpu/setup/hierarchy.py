@@ -265,9 +265,13 @@ def build_device_hierarchy(state: MGState, relax_states: list,
     # structured full-weighting one — the flat ELL/DIA path stays as the
     # general fallback (AMG, staggered systems, block smoothers)
     if cfg.engine in ("auto", "grid"):
-        from ..cycle.grid_cycle import build_grid_hierarchy
         try:
-            gh = build_grid_hierarchy(state, relax_states)
+            if cfg.transfer_type in ("systems-faces", "systems-faces-mixed"):
+                from ..cycle.systems_grid import build_systems_grid_hierarchy
+                gh = build_systems_grid_hierarchy(state, relax_states)
+            else:
+                from ..cycle.grid_cycle import build_grid_hierarchy
+                gh = build_grid_hierarchy(state, relax_states)
             if verbose:
                 print("build_device_hierarchy: using the grid stencil engine")
             return gh

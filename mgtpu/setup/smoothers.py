@@ -20,6 +20,7 @@ __all__ = [
     "jacobi_prec",
     "spai_prec",
     "vanka_cell_indices",
+    "vanka_block_inverses",
     "setup_vanka",
 ]
 
@@ -105,9 +106,12 @@ def gather_blocks(A: sp.csr_matrix, I: np.ndarray) -> np.ndarray:
     return np.einsum("cbk,cbjk->cbj", rows_val, match.astype(val.dtype))
 
 
-def setup_vanka(A: sp.spmatrix, mesh: RegularMesh, w, include_pressure: bool,
-                variant: str = "vanka", dtype=None) -> VankaRelax:
-    """Precompute per-cell block inverses + colored row tables.
+def vanka_block_inverses(A: sp.spmatrix, mesh: RegularMesh, w,
+                         include_pressure: bool, variant: str = "vanka",
+                         dtype=None):
+    """(I, colors, dinv): per-cell Vanka index sets, 2^dim colors and the
+    precomputed (weighted) block inverses — the variant-specific host math
+    shared by the flat table smoother and the grid-form smoother.
 
     Variant semantics follow the reference (Vanka.jl:315-368):
       vanka (scalar w)   : diagonalised velocity block, inverse scaled by w
@@ -115,11 +119,8 @@ def setup_vanka(A: sp.spmatrix, mesh: RegularMesh, w, include_pressure: bool,
       econ-vanka         : velocity diagonal divided by w before full inverse
       vanka-add          : full inverse with 1/2 interior-face weights
       kaczmarz-vanka     : inverse of the (A A^H) block, scaled by w
-    Block inverses are stored in single precision (reference Vanka.jl:296).
     """
     A = A.tocsr()
-    dt = np.dtype(dtype if dtype is not None else A.dtype)
-    prec_dt = single_variant(dt)
     I, colors = vanka_cell_indices(mesh, include_pressure)
     ncells, bs = I.shape
     n = np.asarray(mesh.n)
@@ -182,6 +183,22 @@ def setup_vanka(A: sp.spmatrix, mesh: RegularMesh, w, include_pressure: bool,
         dinv = w * np.linalg.inv(blocks)
     else:
         raise ValueError(f"unknown Vanka variant {variant}")
+    return I, colors, dinv
+
+
+def setup_vanka(A: sp.spmatrix, mesh: RegularMesh, w, include_pressure: bool,
+                variant: str = "vanka", dtype=None) -> VankaRelax:
+    """Precompute per-cell block inverses + colored row tables (flat engine).
+
+    Block inverses are stored in single precision (reference Vanka.jl:296).
+    """
+    A = A.tocsr()
+    dt = np.dtype(dtype if dtype is not None else A.dtype)
+    prec_dt = single_variant(dt)
+    dim = mesh.dim
+    I, colors, dinv = vanka_block_inverses(A, mesh, w, include_pressure,
+                                           variant, dtype=dt)
+    ncells, bs = I.shape
 
     # colored, padded tables
     idx_host, val_host = _host_ell(A)

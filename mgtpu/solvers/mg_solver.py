@@ -33,7 +33,9 @@ def _cycle_runtime(cfg, hier):
     The grid engine keeps solve-loop state in (m, *grid) form — flat (n, 1)
     vectors waste 127/128 TPU lanes on every elementwise op, so converting
     once at the loop boundary instead of every cycle matters.
-    Returns (to_internal, to_flat, cycle_fn, matvec).
+    Returns (to_internal, to_flat, cycle_fn, matvec).  Internal "vectors" are
+    arrays, or tuples of per-component fields for the systems engine — use
+    the _v* helpers below for arithmetic on them.
     """
     from ..cycle.grid_cycle import GridHierarchy, grid_cycle_jit
     from ..ops.grid_stencil import flat_to_grid, grid_to_flat
@@ -42,8 +44,49 @@ def _cycle_runtime(cfg, hier):
         return (lambda v: flat_to_grid(v, grid), grid_to_flat,
                 lambda h, b, x: grid_cycle_jit(cfg, h, b, x),
                 hier.levels[0].A.matvec)
+
+    from ..cycle.systems_grid import (SystemsGridHierarchy,
+                                      systems_grid_cycle_jit,
+                                      block_to_fields, fields_to_block)
+    if isinstance(hier, SystemsGridHierarchy):
+        grids = hier.fine_grids
+        return (lambda v: block_to_fields(v, grids), fields_to_block,
+                lambda h, b, x: systems_grid_cycle_jit(cfg, h, b, x),
+                hier.levels[0].A.matvec)
+
     cycle = make_cycle_fn(cfg)
     return (lambda v: v, lambda v: v, cycle, hier.levels[0].A.matvec)
+
+
+def _vsub(a, b):
+    if isinstance(a, tuple):
+        return tuple(x - y for x, y in zip(a, b))
+    return a - b
+
+
+def _vadd(a, b):
+    if isinstance(a, tuple):
+        return tuple(x + y for x, y in zip(a, b))
+    return a + b
+
+
+def _vnorm(a) -> float:
+    if isinstance(a, tuple):
+        return float(jnp.sqrt(sum(jnp.real(jnp.sum(jnp.abs(x) ** 2))
+                                  for x in a)))
+    return float(jnp.linalg.norm(a))
+
+
+def _vastype(a, dtype):
+    if isinstance(a, tuple):
+        return tuple(x.astype(dtype) for x in a)
+    return a.astype(dtype)
+
+
+def _vzeros(a, dtype=None):
+    if isinstance(a, tuple):
+        return tuple(jnp.zeros_like(x, dtype=dtype) for x in a)
+    return jnp.zeros_like(a, dtype=dtype)
 
 
 def get_afun(A_dev):
@@ -68,15 +111,14 @@ def solve_mg(state: MGState, b, x=None, verbose: bool = False):
     to_internal, to_flat, cycle, matvec = _cycle_runtime(cfg, hier)
     bv, xv = to_internal(b2), to_internal(x2)
 
-    res0 = float(jnp.linalg.norm(bv - matvec(xv))) if float(
-        jnp.linalg.norm(xv)) > 0 else float(jnp.linalg.norm(bv))
+    res0 = _vnorm(_vsub(bv, matvec(xv))) if _vnorm(xv) > 0 else _vnorm(bv)
     res = res0
     resvec = [res0]
     iters = 0
     for count in range(cfg.max_outer_iter):
         xv = cycle(hier, bv, xv)
         res_prev = res
-        res = float(jnp.linalg.norm(bv - matvec(xv)))
+        res = _vnorm(_vsub(bv, matvec(xv)))
         resvec.append(res)
         iters += 1
         if verbose:
@@ -125,6 +167,8 @@ def _high_precision_fine_op(state: MGState, outer_dtype):
     A_host = state.A_input if getattr(state, "A_input", None) is not None \
         else state.As[0]
     from ..cycle.grid_cycle import GridHierarchy
+    from ..cycle.systems_grid import (SystemsGridHierarchy,
+                                      block_operator_from_csr)
     if isinstance(state.hier, GridHierarchy):
         from ..ops.grid_stencil import (grid_stencil_from_csr,
                                         compress_grid_stencil)
@@ -132,6 +176,10 @@ def _high_precision_fine_op(state: MGState, outer_dtype):
         A = grid_stencil_from_csr(A_host, nodes, dtype=outer_dtype)
         Ac = compress_grid_stencil(A)
         op = (Ac if Ac is not None else A).matvec
+    elif isinstance(state.hier, SystemsGridHierarchy):
+        op = block_operator_from_csr(A_host, list(state.meshes[0].n),
+                                     state.config.mixed,
+                                     dtype=outer_dtype).matvec
     else:
         from ..setup.hierarchy import _to_device_matrix
         op = _to_device_matrix(A_host, np.dtype(outer_dtype).type).matvec
@@ -168,13 +216,13 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
     bv = to_internal(b2)
     xv = to_internal(x2)
 
-    res0 = float(jnp.linalg.norm(bv))
+    res0 = _vnorm(bv)
     res = res0
     resvec = [res0]
     iters = 0
     for count in range(max_iter):
-        r = bv - matvec_hi(xv)
-        res_prev, res = res, float(jnp.linalg.norm(r))
+        r = _vsub(bv, matvec_hi(xv))
+        res_prev, res = res, _vnorm(r)
         if count > 0:
             resvec.append(res)
             if verbose:
@@ -182,8 +230,8 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
                       f"Factor: {res / max(res_prev, 1e-300):.3f}")
         if res / max(res0, 1e-300) < tol:
             break
-        z = cycle(hier, r.astype(cfg.dtype), jnp.zeros_like(r, cfg.dtype))
-        xv = xv + z.astype(outer_dtype)
+        z = cycle(hier, _vastype(r, cfg.dtype), _vzeros(r, cfg.dtype))
+        xv = _vadd(xv, _vastype(z, outer_dtype))
         iters += 1
     state.n_iter += iters * b2.shape[1]
     state.time_solve += time.perf_counter() - t0
@@ -253,6 +301,34 @@ def _krylov_setup(state: MGState, b, x0):
             return X2[:, 0] if squeeze else X2
 
         return cfg, bv, xv, matvec, prec, to_flat, True
+
+    from ..cycle.systems_grid import (SystemsGridHierarchy,
+                                      systems_grid_cycle_jit,
+                                      block_to_fields, fields_to_block)
+    if isinstance(hier, SystemsGridHierarchy):
+        # block-field cycle wrapped for the column-layout Krylov loop (the
+        # preconditioner application dominates; pytree-native Krylov operands
+        # are future work)
+        grids = hier.fine_grids
+        mixed = np.dtype(b2.dtype) != np.dtype(cfg.dtype)
+        op = (_high_precision_fine_op(state, b2.dtype) if mixed
+              else hier.levels[0].A.matvec)
+
+        def matvec(v2):
+            return fields_to_block(op(block_to_fields(v2, grids)))
+
+        def prec(r2):
+            rl = r2.astype(cfg.dtype) if mixed else r2
+            rf = block_to_fields(rl, grids)
+            zf = systems_grid_cycle_jit(cfg, hier, rf,
+                                        tuple(jnp.zeros_like(t) for t in rf))
+            z = fields_to_block(zf)
+            return z.astype(r2.dtype) if mixed else z
+
+        def to_flat(X2):
+            return X2[:, 0] if squeeze else X2
+
+        return cfg, b2, x2, matvec, prec, to_flat, False
 
     matvec = hier.levels[0].A.matvec
     prec = get_mg_preconditioner(state, outer_dtype=b2.dtype)
