@@ -228,7 +228,8 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
         d = None
         P1 = None
         if l < state.num_levels - 1:
-            rs = relax_states[l]
+            from ..setup.hierarchy import _resolve_relax
+            rs = _resolve_relax(relax_states[l])
             if not hasattr(rs, "d"):
                 raise ValueError("grid engine needs a diagonal relax state")
             d = jnp.asarray(rs.d).reshape(A.grid)

@@ -442,8 +442,9 @@ def build_systems_grid_hierarchy(state, relax_states) -> SystemsGridHierarchy:
         A = block_operator_from_csr(state.As[l], n, with_p, dtype=cfg.dtype)
         d = vanka = P1 = R1 = None
         if l < state.num_levels - 1:
-            rs = relax_states[l]
             if cfg.relax_type in ("jacobi", "spai"):
+                from ..setup.hierarchy import _resolve_relax
+                rs = _resolve_relax(relax_states[l])
                 grids, offs = face_component_grids(n, with_p)
                 dd = np.asarray(rs.d)
                 d = tuple(jnp.asarray(dd[offs[c]:offs[c + 1]].reshape(g))

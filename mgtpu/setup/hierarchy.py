@@ -220,6 +220,30 @@ def _setup_relax(A: sp.spmatrix, cfg: MGConfig, relax_param, mesh):
     raise ValueError(f"unknown relaxation type: {rt}")
 
 
+class _RelaxThunk:
+    """Deferred relaxation setup.
+
+    The grid engines rebuild smoother state in grid form (and the systems
+    engine recomputes Vanka block inverses itself), so the flat tables are
+    only materialised when the flat path is actually taken — Vanka table
+    packing is the dominant setup cost for staggered systems.
+    """
+
+    def __init__(self, *args):
+        self._args = args
+        self._val = None
+
+    def resolve(self):
+        if self._val is None:
+            self._val = _setup_relax(*self._args)
+            self._args = None
+        return self._val
+
+
+def _resolve_relax(rs):
+    return rs.resolve() if isinstance(rs, _RelaxThunk) else rs
+
+
 def _per_level_relax_param(relax_param, levels: int):
     if isinstance(relax_param, (list, tuple)) and not np.isscalar(relax_param):
         if len(relax_param) == levels and all(
@@ -287,7 +311,8 @@ def build_device_hierarchy(state: MGState, relax_states: list,
         if l < nlev - 1:
             P_dev = ell_from_scipy(state.Ps[l].tocsr(), dtype=cfg.dtype)
             R_dev = ell_from_scipy(state.Rs[l].tocsr(), dtype=cfg.dtype)
-            levels.append(Level(A_dev, P_dev, R_dev, relax_states[l]))
+            levels.append(Level(A_dev, P_dev, R_dev,
+                                _resolve_relax(relax_states[l])))
         else:
             levels.append(Level(A_dev, None, None, None))
     coarse = _setup_coarse(state, verbose)
@@ -350,7 +375,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
         # stencil scaling (reference MGsetup.jl:61,72)
         R = ((0.5 ** dim) * R).tocsr()
 
-        relax_states.append(_setup_relax(A_l, cfg, rp_arr[l], meshes[l]))
+        relax_states.append(_RelaxThunk(A_l, cfg, rp_arr[l], meshes[l]))
         Ps.append(P.tocsr())
         Rs.append(R)
         mesh_c = get_regular_mesh(meshes[l].domain, nc)
@@ -402,7 +427,7 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
     cop = As[0].nnz
     for l in range(state.num_levels - 1):
         mesh_l = state.meshes[l] if state.meshes else None
-        relax_states.append(_setup_relax(As[l], cfg, rp_arr[l], mesh_l))
+        relax_states.append(_RelaxThunk(As[l], cfg, rp_arr[l], mesh_l))
         A_c = (state.Rs[l] @ As[l] @ state.Ps[l]).tocsr().astype(cfg.dtype)
         As.append(A_c)
         cop += A_c.nnz
@@ -436,7 +461,7 @@ def transpose_hierarchy(state: MGState, verbose: bool = False) -> MGState:
     relax_states = []
     for l in range(state.num_levels - 1):
         mesh_l = state.meshes[l] if state.meshes else None
-        relax_states.append(_setup_relax(state.As[l], cfg, rp_arr[l], mesh_l))
+        relax_states.append(_RelaxThunk(state.As[l], cfg, rp_arr[l], mesh_l))
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     state.do_transpose = (state.do_transpose + 1) % 2
     state._hi_op_cache = None
