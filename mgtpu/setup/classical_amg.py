@@ -20,7 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .hierarchy import (MGConfig, MGState, _per_level_relax_param,
-                        _setup_relax, build_device_hierarchy)
+                        _setup_relax, _RelaxThunk, build_device_hierarchy)
 
 __all__ = ["classical_amg_setup", "strength_matrix_classical",
            "cf_coloring_first", "cf_coloring_second", "direct_interpolation"]
@@ -172,7 +172,7 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
                 print(f"classical_amg_setup: stopped at level {l}")
             levels = l + 1
             break
-        relax = _setup_relax(A_l, cfg, rp_arr[l], None)
+        relax = _RelaxThunk(A_l, cfg, rp_arr[l], None)
         S = strength_matrix_classical(A_l, cfg.strong_conn_param)
         from ..utils import native
         coloring = native.cf_coloring(S)

@@ -27,7 +27,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .hierarchy import (MGConfig, MGState, _per_level_relax_param,
-                        _setup_relax, build_device_hierarchy)
+                        _setup_relax, _RelaxThunk, build_device_hierarchy)
 
 __all__ = ["sa_amg_setup", "get_aggregation", "strength_matrix",
            "neighborhood_aggregation", "aggregation_to_tentative_p",
@@ -218,15 +218,20 @@ def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
     for l in range(cfg.levels - 1):
         t0 = time.perf_counter()
         A_l = As[l]
-        relax = _setup_relax(A_l, cfg, rp_arr[l], None)
         P0 = get_aggregation(A_l, cfg.strong_conn_param)
         if P0.shape[0] == P0.shape[1]:
             if verbose:
                 print(f"sa_amg_setup: stopped coarsening at level {l}")
             levels = l + 1
             break
-        relax_states.append(relax)
-        d = np.asarray(relax.d)
+        relax_states.append(_RelaxThunk(A_l, cfg, rp_arr[l], None))
+        # prolongator-smoothing diagonal, computed on HOST (pulling the relax
+        # state's device array back costs seconds through a remote TPU tunnel)
+        from . import smoothers as sm
+        if cfg.relax_type == "spai":
+            d = sm.spai_diag(A_l, rp_arr[l]).astype(cfg.dtype)
+        else:
+            d = sm.jacobi_diag(A_l, rp_arr[l]).astype(cfg.dtype)
         DA = sp.diags(d) @ A_l
         c = (4.0 / 3.0) / max(_rho_estimate(DA), 1e-300)
         P = (P0 - c * (DA @ P0)).tocsr()

@@ -25,21 +25,29 @@ __all__ = [
 ]
 
 
+def jacobi_diag(A: sp.spmatrix, omega) -> np.ndarray:
+    """Host-side damped-Jacobi diagonal d = omega / diag(A)."""
+    return np.asarray(omega / A.diagonal())
+
+
+def spai_diag(A: sp.spmatrix, omega) -> np.ndarray:
+    """Host-side SPAI(0) diagonal minimising ||I - M A||_F:
+    d_i = omega * conj(a_ii) / ||A e_i||^2 (reference MGsetup.jl:359-362 under
+    the transposed-storage convention)."""
+    A = A.tocsr()
+    s = np.asarray(A.multiply(A.conj()).sum(axis=0)).ravel().real
+    return omega * np.conj(A.diagonal()) / np.maximum(s, 1e-300)
+
+
 def jacobi_prec(A: sp.spmatrix, omega, dtype=None) -> DiagRelax:
     """Damped Jacobi: d = omega / diag(A) (reference MGsetup.jl:146)."""
-    d = np.asarray(omega / A.diagonal())
+    d = jacobi_diag(A, omega)
     return DiagRelax(jnp.asarray(d.astype(dtype if dtype is not None else d.dtype)))
 
 
 def spai_prec(A: sp.spmatrix, omega, dtype=None) -> DiagRelax:
-    """SPAI(0): diagonal M minimising ||I - M A||_F.
-
-    d_i = omega * conj(a_ii) / ||A e_i||^2 (reference MGsetup.jl:359-362 under
-    the transposed-storage convention).
-    """
-    A = A.tocsr()
-    s = np.asarray(A.multiply(A.conj()).sum(axis=0)).ravel().real
-    d = omega * np.conj(A.diagonal()) / np.maximum(s, 1e-300)
+    """SPAI(0) diagonal preconditioner (see spai_diag)."""
+    d = spai_diag(A, omega)
     return DiagRelax(jnp.asarray(d.astype(dtype if dtype is not None else d.dtype)))
 
 

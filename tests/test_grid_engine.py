@@ -231,3 +231,40 @@ def test_mixed_precision_refinement_reaches_f64_accuracy():
     state_f = mg_setup(L, M, cfg_f, rp_f)
     xf, info_f = solve_mg_refined(state_f, b, tol=1e-10)
     assert info_f["relres"] < 1e-10
+
+
+def test_grid_engine_complex_shifted_laplacian():
+    """Complex shifted Laplacian (Helmholtz-like): grid engine matches flat
+    and converges — the reference is {VAL}-generic over ComplexF32/F64."""
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [32, 32])
+    L = nodal_laplacian_matrix(M).astype(np.complex128)
+    n = L.shape[0]
+    L = (L + (0.05 + 0.05j) * abs(L).sum(axis=0).max()
+         * sp.identity(n)).tocsr()
+    mk = lambda engine: get_mg_param(levels=3, relax_type="jacobi",
+                                     relax_param=0.8, nu_pre=1, nu_post=1,
+                                     max_outer_iter=25, relative_tol=1e-9,
+                                     dtype=np.complex128, engine=engine)
+    cfg_g, rp = mk("grid")
+    cfg_f, _ = mk("flat")
+    st_g = mg_setup(L, M, cfg_g, rp)
+    st_f = mg_setup(L, M, cfg_f, rp)
+    assert isinstance(st_g.hier, GridHierarchy)
+    b = (np.random.rand(n, 2) + 1j * np.random.rand(n, 2))
+    xg = np.asarray(recursive_cycle(cfg_g, st_g.hier, jnp.asarray(b),
+                                    jnp.zeros_like(jnp.asarray(b))))
+    xf = np.asarray(recursive_cycle(cfg_f, st_f.hier, jnp.asarray(b),
+                                    jnp.zeros_like(jnp.asarray(b))))
+    np.testing.assert_allclose(xg, xf, rtol=1e-9, atol=1e-11)
+    x, info = solve_mg(st_g, b)
+    assert info["relres"] < 1e-9
+    # complex refinement from a complex64 hierarchy
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    cfg_c, rp_c = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                               nu_pre=1, nu_post=1, max_outer_iter=40,
+                               dtype=np.complex64)
+    st_c = mg_setup(L, M, cfg_c, rp_c)
+    assert isinstance(st_c.hier, GridHierarchy)
+    xr, rinfo = solve_mg_refined(st_c, b[:, 0], tol=1e-10)
+    assert rinfo["relres"] < 1e-10
+    assert np.linalg.norm(L @ np.asarray(xr) - b[:, 0]) < 1e-8
