@@ -29,8 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from ..ops.grid_stencil import (GridStencil, grid_stencil_from_csr,
-                                compress_grid_stencil,
+from ..ops.grid_stencil import (GridStencil, make_grid_stencil,
                                 flat_to_grid, grid_to_flat)
 from .relax import fgmres_relaxation
 
@@ -109,16 +108,26 @@ def _axis_matmul(x: jax.Array, W: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(y, -1, axis)
 
 
-def grid_restrict(rg: jax.Array, P1: tuple) -> jax.Array:
-    """R r = 0.5^dim * (kron_a P1_a)^T r; rg is (m, *fine_grid)."""
+def grid_restrict(rg: jax.Array, P1) -> jax.Array:
+    """R r; rg is (m, *fine_grid).
+
+    P1 is either the per-axis dense factor tuple (geometric full weighting,
+    R = 0.5^dim P^T) or a Stride2Transfer (matrix-dependent prolongator,
+    R = P^H — the SA convention)."""
+    from ..ops.grid_stencil import Stride2Transfer
+    if isinstance(P1, Stride2Transfer):
+        return P1.restrict(rg)
     y = rg
     for a, W in enumerate(P1):
         y = _axis_matmul(y, W, 1 + a)
     return (0.5 ** len(P1)) * y
 
 
-def grid_prolong(xc: jax.Array, P1: tuple) -> jax.Array:
-    """P xc = (kron_a P1_a) xc; xc is (m, *coarse_grid)."""
+def grid_prolong(xc: jax.Array, P1) -> jax.Array:
+    """P xc; xc is (m, *coarse_grid)."""
+    from ..ops.grid_stencil import Stride2Transfer
+    if isinstance(P1, Stride2Transfer):
+        return P1.prolong(xc)
     y = xc
     for a, W in enumerate(P1):
         y = _axis_matmul(y, W.T, 1 + a)
@@ -221,10 +230,7 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
     for l in range(state.num_levels):
         mesh = state.meshes[l]
         nodes = [int(v) + 1 for v in np.asarray(mesh.n).ravel()]
-        A = grid_stencil_from_csr(state.As[l], nodes, dtype=cfg.dtype)
-        A_const = compress_grid_stencil(A)
-        if A_const is not None:
-            A = A_const
+        A = make_grid_stencil(state.As[l], nodes, dtype=cfg.dtype)
         d = None
         P1 = None
         if l < state.num_levels - 1:

@@ -112,14 +112,33 @@ def grid_to_flat(xg: jax.Array) -> jax.Array:
     return xg.reshape(xg.shape[0], -1).T
 
 
+def make_grid_stencil(A: sp.spmatrix, node_counts, dtype=None,
+                      max_shift: int = 2, width: int = 2):
+    """Extract + constant-interior-compress in one host pass.
+
+    Returns a device-backed ConstGridStencil when the coefficients are
+    constant away from the boundary band, else a GridStencil.  All analysis
+    happens on the HOST copy — pulling device arrays back through a remote
+    TPU tunnel costs seconds.
+    """
+    gs = grid_stencil_from_csr(A, node_counts, dtype=dtype,
+                               max_shift=max_shift, device=False)
+    cs = compress_grid_stencil(gs, width=width)
+    if cs is not None:
+        return cs
+    return GridStencil(jnp.asarray(gs.coeff), gs.offsets, gs.grid)
+
+
 def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
-                          dtype=None, max_shift: int = 2) -> GridStencil:
+                          dtype=None, max_shift: int = 2,
+                          device: bool = True) -> GridStencil:
     """Extract the grid-form stencil of A on a node grid.
 
     node_counts: per-mesh-dim node counts, dim 0 fastest (= jInv/mesh
     convention).  Raises ValueError when A is not a tensor-product stencil
     with per-axis shifts within ``max_shift`` — callers fall back to the
-    general flat path.
+    general flat path.  device=False keeps the coefficients as numpy (for
+    host-side analysis before the single device push).
     """
     node_counts = [int(v) for v in np.asarray(node_counts).ravel()]
     n = int(np.prod(node_counts))
@@ -182,7 +201,8 @@ def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
             sl[a] = slice(grid[a] - da, None) if da > 0 else slice(0, -da)
             if np.any(coeff[(k,) + tuple(sl)]):
                 raise ValueError("stencil entry crosses the grid boundary")
-    return GridStencil(jnp.asarray(coeff), tuple(offsets), grid)
+    return GridStencil(jnp.asarray(coeff) if device else coeff,
+                       tuple(offsets), grid)
 
 
 def _shift(x: jax.Array, axis: int, d: int, size: int) -> jax.Array:
@@ -213,6 +233,133 @@ def grid_stencil_matvec(coeff: jax.Array,
             xs = _shift(xs, xs.ndim - g + a, da, grid[a])
         y = y + coeff[k] * xs
     return y
+
+
+# ---------------------------------------------------------------------------
+# stride-2 grid transfers (matrix-dependent prolongators, e.g. smoothed
+# aggregation with block-2^dim aggregates on a grid)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["coeff", "E"],
+                   meta_fields=["offsets", "fine_grid", "coarse_grid"])
+@dataclass(frozen=True)
+class Stride2Transfer:
+    """Prolongation whose column of fine node f is the aggregate c with
+    f = 2c + delta for a small static set of per-axis deltas:
+    ``coeff[k, *f] = P[flat(f), flat((f - offsets[k]) / 2)]``.
+
+    Covers any matrix-dependent P over stride-2 grid coarsening (tentative
+    and smoothed aggregation operators on block-2^dim aggregates).  The
+    stride-2 resampling is factored into per-axis selection matmuls (E_a has
+    a 1 at (2c, c)) that run on the MXU — strided lane access is a slow
+    relayout on TPU — leaving only unit-stride shifts and multiplies:
+      prolong:  y = sum_k coeff_k * shift((kron_a E_a) xc, offsets[k])
+      restrict: rc = (kron_a E_a)^T sum_k shift(conj(coeff_k) * r, offsets[k])
+    restrict is exactly the adjoint P^H (the SA convention R = P',
+    reference SA-AMG.jl:49).
+    """
+    coeff: jax.Array                       # (ndiags, *fine_grid)
+    E: tuple                               # per grid axis: (f_a, c_a) select
+    offsets: tuple[tuple[int, ...], ...]
+    fine_grid: tuple[int, ...]
+    coarse_grid: tuple[int, ...]
+
+    @property
+    def dtype(self):
+        return self.coeff.dtype
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (int(np.prod(self.fine_grid)), int(np.prod(self.coarse_grid)))
+
+    def prolong(self, xc: jax.Array) -> jax.Array:
+        """xc: (..., *coarse_grid) -> (..., *fine_grid)."""
+        return _stride2_prolong(self.coeff, self.E, self.offsets,
+                                self.fine_grid, xc)
+
+    def restrict(self, r: jax.Array) -> jax.Array:
+        """P^H r: (..., *fine_grid) -> (..., *coarse_grid)."""
+        return _stride2_restrict(self.coeff, self.E, self.offsets,
+                                 self.coarse_grid, r)
+
+    def astype(self, dtype) -> "Stride2Transfer":
+        return Stride2Transfer(self.coeff.astype(dtype),
+                               tuple(e.astype(dtype) for e in self.E),
+                               self.offsets, self.fine_grid, self.coarse_grid)
+
+
+def stride2_transfer_from_scipy(P: sp.spmatrix, fine_nodes, coarse_nodes,
+                                dtype=None, max_delta: int = 3):
+    """Extract a Stride2Transfer from an assembled prolongation matrix.
+
+    fine_nodes/coarse_nodes: per-mesh-dim extents (dim 0 fastest).  Raises
+    ValueError when some entry's delta = f - 2c exceeds max_delta per axis.
+    """
+    fine_nodes = [int(v) for v in np.asarray(fine_nodes).ravel()]
+    coarse_nodes = [int(v) for v in np.asarray(coarse_nodes).ravel()]
+    nf, nc = int(np.prod(fine_nodes)), int(np.prod(coarse_nodes))
+    if P.shape != (nf, nc):
+        raise ValueError("prolongation size does not match the node grids")
+    fg = tuple(reversed(fine_nodes))
+    cg = tuple(reversed(coarse_nodes))
+    Pc = P.tocoo()
+    fcoord = np.stack(np.unravel_index(Pc.row, fg), axis=1)
+    ccoord = np.stack(np.unravel_index(Pc.col, cg), axis=1)
+    d = fcoord - 2 * ccoord
+    if d.size and int(np.abs(d).max()) > max_delta:
+        raise ValueError("prolongation entry outside the stride-2 stencil")
+    offs, pos = np.unique(d, axis=0, return_inverse=True)
+    dt = dtype if dtype is not None else Pc.dtype
+    coeff = np.zeros((len(offs), nf), dtype=dt)
+    np.add.at(coeff, (pos, Pc.row), Pc.data.astype(dt))
+    rdt = np.real(np.zeros(0, dtype=dt)).dtype
+    E = []
+    for a in range(len(fg)):
+        Ea = np.zeros((fg[a], cg[a]), dtype=rdt)
+        Ea[2 * np.arange(cg[a]), np.arange(cg[a])] = 1.0
+        E.append(jnp.asarray(Ea))
+    return Stride2Transfer(jnp.asarray(coeff.reshape((-1,) + fg)), tuple(E),
+                           tuple(tuple(int(v) for v in o) for o in offs),
+                           fg, cg)
+
+
+def _axis_contract(x, W, axis):
+    xl = jnp.moveaxis(x, axis, -1)
+    return jnp.moveaxis(xl @ W, -1, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "fine_grid"))
+def _stride2_prolong(coeff, E, offsets, fine_grid, xc):
+    g = len(fine_grid)
+    nb = xc.ndim - g
+    up = xc
+    for a in range(g):
+        up = _axis_contract(up, E[a].T, nb + a)    # (c_a,) -> (f_a,) upsample
+    y = jnp.zeros(xc.shape[:nb] + fine_grid, dtype=jnp.result_type(coeff, xc))
+    for k, off in enumerate(offsets):
+        xs = up
+        for a, da in enumerate(off):
+            xs = _shift(xs, nb + a, -da, fine_grid[a])
+        y = y + coeff[k] * xs
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "coarse_grid"))
+def _stride2_restrict(coeff, E, offsets, coarse_grid, r):
+    g = len(coarse_grid)
+    nb = r.ndim - g
+    fine_grid = coeff.shape[1:]
+    s = jnp.zeros(r.shape[:nb] + tuple(fine_grid),
+                  dtype=jnp.result_type(coeff, r))
+    for k, off in enumerate(offsets):
+        w = coeff[k].conj() * r
+        for a, da in enumerate(off):
+            w = _shift(w, nb + a, da, fine_grid[a])
+        s = s + w
+    for a in range(g):
+        s = _axis_contract(s, E[a], nb + a)        # (f_a,) -> (c_a,) subsample
+    return s
 
 
 # ---------------------------------------------------------------------------

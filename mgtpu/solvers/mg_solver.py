@@ -170,12 +170,13 @@ def _high_precision_fine_op(state: MGState, outer_dtype):
     from ..cycle.systems_grid import (SystemsGridHierarchy,
                                       block_operator_from_csr)
     if isinstance(state.hier, GridHierarchy):
-        from ..ops.grid_stencil import (grid_stencil_from_csr,
-                                        compress_grid_stencil)
-        nodes = [int(v) + 1 for v in np.asarray(state.meshes[0].n).ravel()]
-        A = grid_stencil_from_csr(A_host, nodes, dtype=outer_dtype)
-        Ac = compress_grid_stencil(A)
-        op = (Ac if Ac is not None else A).matvec
+        from ..ops.grid_stencil import make_grid_stencil
+        # nodal or cell-centered, whichever matches the operator size
+        grid = state.hier.fine_grid
+        nodes = list(reversed(grid))
+        op = make_grid_stencil(A_host, nodes, dtype=outer_dtype,
+                               max_shift=(min(grid) - 1) // 2 if min(grid) < 7
+                               else 3).matvec
     elif isinstance(state.hier, SystemsGridHierarchy):
         op = block_operator_from_csr(A_host, list(state.meshes[0].n),
                                      state.config.mixed,

@@ -180,3 +180,93 @@ def test_native_kernels_match_python():
     np.testing.assert_array_equal(
         native.cf_coloring(Sc),
         cf_coloring_second(Sc, cf_coloring_first(Sc)))
+
+
+def test_structured_sa_transfers_and_cycle_conformance():
+    """Structured (block-2^dim) SA: stride-2 transfer application equals the
+    assembled P/P^H, and the grid cycle equals a flat cycle built on the SAME
+    hierarchy matrices."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mgtpu import get_regular_mesh
+    from mgtpu.cycle.cycle import recursive_cycle
+    from mgtpu.cycle.grid_cycle import GridHierarchy
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+    from mgtpu.ops.grid_stencil import flat_to_grid, grid_to_flat
+    from mgtpu.setup.hierarchy import build_device_hierarchy, _RelaxThunk
+
+    n = 32
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    sig = np.exp(np.random.randn(n * n))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-6 * abs(A).sum(0).max() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="spai", dtype=np.float64)
+    st = sa_amg_setup(A, cfg, rp, mesh=M)
+    assert isinstance(st.hier, GridHierarchy)
+
+    # transfer conformance
+    lvl = st.hier.levels[0]
+    r = np.random.rand(A.shape[0], 2)
+    rg = flat_to_grid(jnp.asarray(r), lvl.A.grid)
+    np.testing.assert_allclose(
+        np.asarray(grid_to_flat(lvl.P1.restrict(rg))),
+        st.Rs[0] @ r, rtol=1e-12, atol=1e-12)
+    nc = st.Ps[0].shape[1]
+    xc = np.random.rand(nc, 2)
+    xcg = flat_to_grid(jnp.asarray(xc), st.hier.levels[1].A.grid)
+    np.testing.assert_allclose(
+        np.asarray(grid_to_flat(lvl.P1.prolong(xcg))),
+        st.Ps[0] @ xc, rtol=1e-12, atol=1e-12)
+
+    # cycle conformance: flat hierarchy on the SAME matrices
+    cfg_f = dataclasses.replace(st.config, engine="flat")
+    st_f = dataclasses.replace2 if False else st
+    import copy
+    st2 = copy.copy(st)
+    st2.config = cfg_f
+    thunks = [_RelaxThunk(st.As[l], cfg_f, 1.0, None)
+              for l in range(st.num_levels - 1)]
+    hier_flat = build_device_hierarchy(st2, thunks)
+    b = np.random.rand(A.shape[0], 2)
+    x0 = np.zeros_like(b)
+    xg = np.asarray(recursive_cycle(st.config, st.hier, jnp.asarray(b),
+                                    jnp.asarray(x0)))
+    xf = np.asarray(recursive_cycle(cfg_f, hier_flat, jnp.asarray(b),
+                                    jnp.asarray(x0)))
+    np.testing.assert_allclose(xg, xf, rtol=1e-9, atol=1e-11)
+
+
+def test_structured_sa_convergence_contract():
+    """Structured SA keeps the reference's convergence contract on rough
+    coefficients (DivSigGrad, sigma = exp(randn)) — BASELINE.md SA-AMG row."""
+    from mgtpu import get_regular_mesh
+    from mgtpu.cycle.grid_cycle import GridHierarchy
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+
+    n = 50
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    sig = np.exp(np.random.randn(n * n))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-6 * abs(A).sum(0).max() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="spai", max_outer_iter=5,
+                           relative_tol=1e-10, dtype=np.float64)
+    st = sa_amg_setup(A, cfg, rp, mesh=M)
+    assert isinstance(st.hier, GridHierarchy)
+    b = A @ np.random.rand(A.shape[0], 3)
+    b /= np.linalg.norm(b, axis=0)
+    x, info = solve_mg(st, b)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 0.01
+
+    # 3D, cell-centered-size guard: nodal 3D
+    M3 = get_regular_mesh([0.0, 1.0] * 3, [16, 16, 16])
+    sig3 = np.exp(np.random.randn(16 ** 3))
+    A3 = nodal_div_sig_grad_matrix(M3, sig3)
+    A3 = (A3 + 1e-6 * abs(A3).sum(0).max() * sp.identity(A3.shape[0])).tocsr()
+    cfg3, rp3 = get_mg_param(levels=3, relax_type="spai", max_outer_iter=5,
+                             relative_tol=1e-10, dtype=np.float64)
+    st3 = sa_amg_setup(A3, cfg3, rp3, mesh=M3)
+    assert isinstance(st3.hier, GridHierarchy)
+    b3 = A3 @ np.random.rand(A3.shape[0])
+    b3 /= np.linalg.norm(b3)
+    x3, info3 = solve_mg(st3, b3)
+    assert np.linalg.norm(A3 @ np.asarray(x3) - b3) < 0.01
