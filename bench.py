@@ -163,6 +163,20 @@ def main():
         lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
         st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
 
+    # structured SA-AMG on rough coefficients (the reference's headline AMG)
+    from mgtpu.setup.sa_amg import sa_amg_setup
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+    Ms = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
+    sig = np.exp(rng.randn(512 * 512))
+    As = nodal_div_sig_grad_matrix(Ms, sig)
+    As = (As + 1e-8 * abs(As).sum(0).max() * sp.identity(As.shape[0])).tocsr()
+    cfg_s, rp_s = get_mg_param(levels=4, relax_type="spai", dtype=dtype)
+    st_s = sa_amg_setup(As, cfg_s, rp_s, mesh=Ms)
+    bs = flat_to_grid(jnp.asarray(
+        rng.rand(As.shape[0], 1).astype(dtype)), st_s.hier.fine_grid)
+    sa_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
+                         st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
+
     # the flat (ELL/DIA) engine, for the record
     cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
                                relax_param=0.8, nu_pre=1, nu_post=1,
@@ -197,6 +211,7 @@ def main():
             "flat_engine_vcycle_ms": round(flat_ms, 3),
             "relres_after_20_cycles": relres,
             "elasticity_vanka_cycle_ms": round(vanka_ms, 4),
+            "sa_amg_512_cycle_ms": round(sa_ms, 4),
             "refined_iter_ms": round(refined_ms, 4),
             "iters_to_relres_1e-8": iters_1e8,
             "time_to_1e-8_ms": round(refined_ms * iters_1e8, 3),
