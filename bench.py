@@ -125,21 +125,34 @@ def main():
     relres = float(np.linalg.norm(
         b64 - L.astype(np.float64) @ np.asarray(x[:, 0], dtype=np.float64)))
 
-    # time-to-1e-8: mixed-precision iterative refinement (f64 residual around
-    # the f32 cycle; BASELINE.md end-to-end protocol)
-    from mgtpu.solvers.mg_solver import solve_mg_refined, _high_precision_fine_op
-    mv64 = _high_precision_fine_op(state, np.float64)
-    bg64 = bg.astype(np.float64)
+    # time-to-1e-8: mixed-precision iterative refinement around the f32 cycle
+    # (BASELINE.md end-to-end protocol).  The residual runs in double-single
+    # (two-float32) compensated arithmetic (ops/df32.py) — TPUs emulate f64
+    # ~5x slower than f32, and the df32 residual carries ~1e-13 accuracy, so
+    # the 1e-8 claim is certified against the ORIGINAL f64 operator.
+    from mgtpu.solvers.mg_solver import solve_mg_refined, _df32_residual_op
+    from mgtpu.ops.df32 import df_residual, df_accumulate
+    dfA = _df32_residual_op(state)
+    b_hi = bg
+    b_lo = jnp.asarray(
+        (np.asarray(bg, np.float64)
+         - np.asarray(bg, np.float64).astype(np.float32)).astype(np.float32))
 
-    def refined_iter(h, bb, xx):
-        r = bb - mv64(xx)
-        z = grid_cycle(cfg, h, r.astype(dtype), jnp.zeros_like(r, dtype))
-        return xx + z.astype(np.float64)
+    def refined_iter(h, bb, carry):
+        xh, xl, rh = carry
+        z = grid_cycle(cfg, h, rh, jnp.zeros_like(rh))
+        xh, xl = df_accumulate(xh, xl, z)
+        rh, _ = df_residual(dfA, bb, b_lo, xh, xl)
+        return (xh, xl, rh)
 
-    refined_ms = _chain_timer(refined_iter, state.hier, bg64,
-                              jnp.zeros_like(bg64), ks=(2, 12), reps=3)
-    _, rinfo = solve_mg_refined(state, b64, tol=1e-8)
+    z0 = jnp.zeros_like(bg)
+    refined_ms = _chain_timer(refined_iter, state.hier, b_hi,
+                              (z0, z0, b_hi), ks=(2, 22), reps=3)
+    xr, rinfo = solve_mg_refined(state, b64, tol=1e-8)
     iters_1e8 = int(rinfo["iters"])
+    # certify: true residual of the returned iterate vs the f64 operator
+    true_rr = float(np.linalg.norm(
+        b64 - state.A_input.astype(np.float64) @ np.asarray(xr, np.float64)))
 
     # mixed-elasticity Vanka cycle (systems grid engine), the reference's
     # hardest smoother path (testGMGRAPforElasticityVanka workload)
@@ -215,6 +228,7 @@ def main():
             "refined_iter_ms": round(refined_ms, 4),
             "iters_to_relres_1e-8": iters_1e8,
             "time_to_1e-8_ms": round(refined_ms * iters_1e8, 3),
+            "true_relres_f64_certified": float(f"{true_rr:.3e}"),
             "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
         },

@@ -138,6 +138,34 @@ def grid_prolong(xc: jax.Array, P1) -> jax.Array:
 # cycle
 # ---------------------------------------------------------------------------
 
+def _fused_mode() -> str:
+    """Fused-Pallas dispatch: 'on', 'interpret' (tests), 'off' (default).
+
+    The fused kernels are bitwise-exact vs the XLA path but their per-op
+    pad/unpad wrapper currently costs more than the fusion saves (the XLA
+    const-stencil path is already near memory-bound); they stay opt-in until
+    the padded-persistent-layout integration lands.  Override with
+    MGTPU_FUSED=on|off|interpret."""
+    import os
+    env = os.environ.get("MGTPU_FUSED", "").lower()
+    if env in ("on", "off", "interpret"):
+        return env
+    return "off"
+
+
+def _fused_interpret(cfg, lvl: "GridLevel"):
+    """interpret-flag for the fused kernels at this level, or None (XLA path)."""
+    if cfg.relax_type not in ("jacobi", "spai") or lvl.d is None:
+        return None
+    mode = _fused_mode()
+    if mode == "off":
+        return None
+    from ..ops.pallas import fused_const as fk
+    if not fk.supports_fused(lvl.A, lvl.d.dtype):
+        return None
+    return mode == "interpret"
+
+
 def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
     if nu <= 0:
         return x
@@ -160,11 +188,23 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
 
     lvl = gh.levels[level]
     matvec = lvl.A.matvec
+    fi = _fused_interpret(cfg, lvl)
+    if fi is not None:
+        from ..ops.pallas import fused_const as fk
     with jax.named_scope(f"gmg_level{level}"):
-        r = b - matvec(x)
-        x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
-
-        r = b - matvec(x)
+        if fi is not None:
+            # fused Pallas path: each smoother application / residual is one
+            # HBM pass (see ops/pallas/fused_const.py)
+            for _ in range(cfg.nu_pre[level] - 1):
+                x = fk.jacobi_step(lvl.A, lvl.d, b, x, interpret=fi)
+            if cfg.nu_pre[level] >= 1:
+                x, r = fk.jacobi_residual(lvl.A, lvl.d, b, x, interpret=fi)
+            else:
+                r = fk.residual(lvl.A, b, x, interpret=fi)
+        else:
+            r = b - matvec(x)
+            x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
+            r = b - matvec(x)
         bc = grid_restrict(r, lvl.P1)
         if level == nlev - 2:
             with jax.named_scope("gmg_coarsest"):
@@ -182,10 +222,18 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
             elif ctype == "F":
                 xc = grid_cycle(cfg, gh, bc, xc, level + 1, "V")
 
-        x = x + grid_prolong(xc, lvl.P1)
-
-        r = b - matvec(x)
-        x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_post[level])
+        p = grid_prolong(xc, lvl.P1)
+        if fi is not None:
+            if cfg.nu_post[level] >= 1:
+                x = fk.correct_jacobi(lvl.A, lvl.d, b, x, p, interpret=fi)
+                for _ in range(cfg.nu_post[level] - 1):
+                    x = fk.jacobi_step(lvl.A, lvl.d, b, x, interpret=fi)
+            else:
+                x = x + p
+        else:
+            x = x + p
+            r = b - matvec(x)
+            x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_post[level])
     return x
 
 

@@ -441,8 +441,13 @@ class ConstGridStencil:
 
 
 def compress_grid_stencil(gs: GridStencil, width: int = 2,
-                          rtol: float = 1e-13) -> ConstGridStencil | None:
-    """Compress to constant-interior form, or None when not applicable."""
+                          rtol: float = 1e-13,
+                          device: bool = True) -> ConstGridStencil | None:
+    """Compress to constant-interior form, or None when not applicable.
+
+    device=False keeps const/strips as numpy at the ORIGINAL dtype — jnp
+    conversion would silently truncate f64 coefficients to f32 when x64 is
+    off, which matters to callers that split them (ops/df32.py)."""
     grid = gs.grid
     dim = len(grid)
     if any(n < 3 * width for n in grid):
@@ -457,6 +462,7 @@ def compress_grid_stencil(gs: GridStencil, width: int = 2,
         return None
 
     boxes, strips = [], []
+    conv = jnp.asarray if device else np.asarray
     for a in range(dim):
         start = [0] * dim
         size = list(grid)
@@ -468,8 +474,8 @@ def compress_grid_stencil(gs: GridStencil, width: int = 2,
             st[a], sz[a] = s0, width
             boxes.append((tuple(st), tuple(sz)))
             sl = tuple(slice(b, b + z) for b, z in zip(st, sz))
-            strips.append(jnp.asarray(coeff[(slice(None),) + sl]))
-    return ConstGridStencil(jnp.asarray(c), tuple(strips), gs.offsets,
+            strips.append(conv(coeff[(slice(None),) + sl]))
+    return ConstGridStencil(conv(c), tuple(strips), gs.offsets,
                             grid, tuple(boxes))
 
 
