@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..setup.hierarchy import MGConfig, Hierarchy, VANKA_TYPES
-from .relax import relax_diag, fgmres_relaxation
+from .relax import relax_diag, fgmres_relaxation, chebyshev_smooth
 from .vanka import vanka_sweep
 from .kaczmarz import kaczmarz_sweep
 
@@ -32,6 +32,10 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
     if rt == "jac-gmres":
         d = level.relax.d[:, None]
         return fgmres_relaxation(matvec, lambda v: d * v, r, x, nu)
+    if rt == "chebyshev":
+        return chebyshev_smooth(matvec, level.relax.d[:, None],
+                                level.relax.lam_max, cfg.cheby_degree * nu,
+                                cfg.cheby_frac, r, x, b)
     if rt in VANKA_TYPES:
         return vanka_sweep(x, b, level.relax, nu)
     if rt == "hybrid-kaczmarz":

@@ -40,12 +40,13 @@ __all__ = [
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["A", "d", "P1"], meta_fields=[])
+                   data_fields=["A", "d", "P1"], meta_fields=["lam"])
 @dataclass(frozen=True)
 class GridLevel:
     A: GridStencil
     d: jax.Array | None      # pointwise relax diagonal, grid-shaped
     P1: tuple | None         # per-grid-axis dense 1D prolongation (f_a, c_a)
+    lam: float | None = None  # spec(D^-1 A) bound (chebyshev smoothing)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -171,6 +172,11 @@ def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
         return x
     if cfg.relax_type == "jac-gmres":
         return fgmres_relaxation(lvl.A.matvec, lambda v: lvl.d * v, r, x, nu)
+    if cfg.relax_type == "chebyshev":
+        from .relax import chebyshev_smooth
+        return chebyshev_smooth(lvl.A.matvec, lvl.d, lvl.lam,
+                                cfg.cheby_degree * nu, cfg.cheby_frac,
+                                r, x, b)
     # jacobi / spai: x += d .* r with the residual refreshed between sweeps
     for _ in range(nu - 1):
         x = x + lvl.d * r
@@ -255,7 +261,7 @@ def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
 # construction from a host hierarchy
 # ---------------------------------------------------------------------------
 
-_GRID_RELAX = ("jacobi", "spai", "jac-gmres")
+_GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev")
 _DENSE_INV_MAX = 16384
 
 
@@ -299,7 +305,10 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
                                  "full-weighting factors")
             P1 = tuple(jnp.asarray(np.asarray(p.todense(), dtype=cfg.dtype))
                        for p in reversed(p1s))
-        levels.append(GridLevel(A, d, P1))
+            lam = getattr(rs, "lam_max", None)
+        else:
+            lam = None
+        levels.append(GridLevel(A, d, P1, lam))
 
     A_c = state.As[-1]
     grid_c = levels[-1].A.grid

@@ -34,6 +34,47 @@ class DiagRelax:
     d: jax.Array  # (n,)
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["d"], meta_fields=["lam_max"])
+@dataclass(frozen=True)
+class ChebyshevRelax:
+    """Chebyshev polynomial smoother state: Jacobi diagonal + spectral bound.
+
+    A TPU-first smoother the reference does not have: a degree-k Chebyshev
+    polynomial in D^-1 A damps the upper spectrum [frac*lam, lam] far more per
+    matvec than damped Jacobi, uses NO dot products (no psum in the sharded
+    cycle), and keeps the whole cycle a fixed linear operator (CG-safe,
+    unlike the Jac-GMRES smoother)."""
+    d: jax.Array        # (n,) inverse diagonal (undamped)
+    lam_max: float      # upper bound on spec(D^-1 A), with safety factor
+
+
+def chebyshev_smooth(matvec, d, lam_max, degree: int, frac: float,
+                     r, x, b):
+    """Degree-`degree` Chebyshev smoothing on [frac*lam, 1.02*lam].
+
+    Saad, Iterative Methods, Alg. 12.1, with M = D^-1 folded in; `r` is the
+    incoming residual b - A x (callers have it), so each degree costs exactly
+    one matvec.  Shapes: grid fields or (n, m) columns — `d` must broadcast.
+    """
+    lo = frac * lam_max
+    hi = 1.02 * lam_max
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    p = (1.0 / theta) * (d * r)
+    x = x + p
+    for _ in range(degree - 1):
+        r = b - matvec(x)
+        w = d * r
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        p = (rho_new * rho) * p + (2.0 * rho_new / delta) * w
+        x = x + p
+        rho = rho_new
+    return x
+
+
 def relax_diag(matvec, r, x, b, d, num_it: int):
     """num_it sweeps of x += d.*r with the residual refreshed between sweeps.
 

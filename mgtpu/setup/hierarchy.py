@@ -56,6 +56,7 @@ _RELAX_ALIASES = {
     "VankaFacesLex": "vanka-lex", "VankaFacesAdd": "vanka-add",
     "hybridKaczmarzNodal": "hybrid-kaczmarz",
     "hybridVankaFacesKaczmarz": "kaczmarz-vanka",
+    "Cheb": "chebyshev", "Chebyshev": "chebyshev",
 }
 _TRANSFER_ALIASES = {
     "FullWeighting": "full-weighting",
@@ -84,6 +85,8 @@ class MGConfig:
     kcycle_inner: int = 2
     gmres_coarse_inner: int = 10
     engine: str = "auto"             # "auto" | "grid" | "flat"
+    cheby_degree: int = 3            # polynomial degree per chebyshev sweep
+    cheby_frac: float = 0.25         # smoothing interval [frac*lam, lam]
 
     @property
     def mixed(self) -> bool:
@@ -96,7 +99,9 @@ def get_mg_param(levels: int = 3, max_outer_iter: int = 20,
                  coarse_solve: str = "lu", strong_conn_param: float = 0.4,
                  filtering_param: float = 0.0,
                  transfer_type: str = "full-weighting",
-                 dtype=np.float64, engine: str = "auto") -> tuple[MGConfig, Any]:
+                 dtype=np.float64, engine: str = "auto",
+                 cheby_degree: int = 3,
+                 cheby_frac: float = 0.25) -> tuple[MGConfig, Any]:
     """Configuration constructor mirroring getMGparam (MGdef.jl:149-161).
 
     Returns (config, relax_param); sweep counts may be ints or per-level
@@ -121,7 +126,8 @@ def get_mg_param(levels: int = 3, max_outer_iter: int = 20,
                    strong_conn_param=strong_conn_param,
                    filtering_param=filtering_param,
                    transfer_type=transfer_type, dtype=np.dtype(dtype).type,
-                   engine=engine)
+                   engine=engine, cheby_degree=cheby_degree,
+                   cheby_frac=cheby_frac)
     return cfg, relax_param
 
 
@@ -206,6 +212,8 @@ def _setup_relax(A: sp.spmatrix, cfg: MGConfig, relax_param, mesh):
         return sm.jacobi_prec(A, relax_param, dtype=cfg.dtype)
     if rt == "spai":
         return sm.spai_prec(A, relax_param, dtype=cfg.dtype)
+    if rt == "chebyshev":
+        return sm.chebyshev_prec(A, relax_param, dtype=cfg.dtype)
     if rt in VANKA_TYPES:
         return sm.setup_vanka(A, mesh, relax_param, cfg.mixed, rt,
                               dtype=cfg.dtype)

@@ -13,7 +13,7 @@ import scipy.sparse as sp
 
 from ..config import single_variant
 from ..models.mesh import RegularMesh, cs2loc
-from ..cycle.relax import DiagRelax
+from ..cycle.relax import DiagRelax, ChebyshevRelax
 from ..cycle.vanka import VankaRelax
 
 __all__ = [
@@ -49,6 +49,33 @@ def spai_prec(A: sp.spmatrix, omega, dtype=None) -> DiagRelax:
     """SPAI(0) diagonal preconditioner (see spai_diag)."""
     d = spai_diag(A, omega)
     return DiagRelax(jnp.asarray(d.astype(dtype if dtype is not None else d.dtype)))
+
+
+def estimate_lam_max(A: sp.spmatrix, d: np.ndarray, iters: int = 15,
+                     seed: int = 7, safety: float = 1.05) -> float:
+    """Power-iteration bound on spec(D^-1 A) (host, once at setup)."""
+    rng = np.random.RandomState(seed)
+    x = rng.rand(A.shape[0])
+    x /= np.linalg.norm(x)
+    lam = 1.0
+    for _ in range(iters):
+        y = d * (A @ x)
+        lam = np.linalg.norm(y)
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return float(lam * safety)
+
+
+def chebyshev_prec(A: sp.spmatrix, omega, dtype=None) -> ChebyshevRelax:
+    """Chebyshev smoother state: inverse diagonal + spectral upper bound.
+
+    `omega` is accepted for dispatch uniformity but unused — Chebyshev damping
+    comes from the polynomial, not the diagonal."""
+    d = 1.0 / np.asarray(A.diagonal())
+    lam = estimate_lam_max(A.tocsr(), d)
+    return ChebyshevRelax(
+        jnp.asarray(d.astype(dtype if dtype is not None else d.dtype)), lam)
 
 
 # ---------------------------------------------------------------------------

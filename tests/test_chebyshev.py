@@ -1,0 +1,72 @@
+"""Chebyshev polynomial smoother (TPU-first addition; no reference analog).
+
+A degree-k Chebyshev polynomial in D^-1 A damps the upper spectrum far more
+per matvec than damped Jacobi, with no dot products (sharded-cycle friendly)
+and a fixed linear cycle operator (CG-safe).
+"""
+import numpy as np
+import scipy.sparse as sp
+
+from mgtpu import get_regular_mesh, get_mg_param, mg_setup
+from mgtpu.models.operators import nodal_laplacian_matrix
+from mgtpu.solvers.mg_solver import solve_mg, solve_mg_refined
+
+
+def _poisson(n):
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(axis=0).max() * sp.identity(L.shape[0])).tocsr()
+    return M, L
+
+
+def test_chebyshev_gmg_convergence_contract():
+    """Beats the reference's Jacobi contract (relres < 0.005 in <=5 cycles,
+    testGMG.jl:55) on the same configuration class."""
+    M, L = _poisson(128)
+    cfg, rp = get_mg_param(levels=4, relax_type="chebyshev", nu_pre=1,
+                           nu_post=1, max_outer_iter=5, relative_tol=1e-10)
+    state = mg_setup(L, M, cfg, rp)
+    b = L @ np.random.RandomState(0).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg(state, b)
+    assert info["resvec"][min(5, len(info["resvec"]) - 1)] < 0.005
+    # per-cycle contraction should be clearly better than damped Jacobi (~0.33)
+    rv = info["resvec"]
+    factors = rv[1:] / rv[:-1]
+    assert np.median(factors) < 0.15
+
+
+def test_chebyshev_grid_matches_flat_engine():
+    M, L = _poisson(32)
+    b = np.random.RandomState(1).rand(L.shape[0], 2)
+    xs = []
+    for engine in ("grid", "flat"):
+        cfg, rp = get_mg_param(levels=3, relax_type="chebyshev", nu_pre=1,
+                               nu_post=2, engine=engine, max_outer_iter=3,
+                               relative_tol=1e-30)
+        state = mg_setup(L, M, cfg, rp)
+        from mgtpu.cycle.grid_cycle import GridHierarchy
+        if engine == "grid":
+            assert isinstance(state.hier, GridHierarchy)
+        x, _ = solve_mg(state, b)
+        xs.append(np.asarray(x))
+    np.testing.assert_allclose(xs[0], xs[1], rtol=1e-9, atol=1e-11)
+
+
+def test_chebyshev_refined_beats_jacobi_iterations():
+    M, L = _poisson(128)
+    b = L @ np.random.RandomState(2).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    iters = {}
+    for rt, kw in (("jacobi", dict(relax_param=0.8)),
+                   ("chebyshev", dict(cheby_degree=2))):
+        cfg, rp = get_mg_param(levels=5, relax_type=rt, nu_pre=1, nu_post=1,
+                               dtype=np.float32, **kw)
+        state = mg_setup(L, M, cfg, rp)
+        x, info = solve_mg_refined(state, b, tol=1e-8, max_iter=40)
+        true_rr = (np.linalg.norm(b - state.A_input.astype(np.float64)
+                                  @ np.asarray(x, np.float64))
+                   / np.linalg.norm(b))
+        assert true_rr < 2e-8
+        iters[rt] = info["iters"]
+    assert iters["chebyshev"] < 0.7 * iters["jacobi"]
