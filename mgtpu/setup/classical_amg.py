@@ -23,7 +23,8 @@ from .hierarchy import (MGConfig, MGState, _per_level_relax_param,
                         _setup_relax, _RelaxThunk, build_device_hierarchy)
 
 __all__ = ["classical_amg_setup", "strength_matrix_classical",
-           "cf_coloring_first", "cf_coloring_second", "direct_interpolation"]
+           "cf_coloring_first", "cf_coloring_second", "cf_coloring_second_s",
+           "direct_interpolation", "standard_interpolation"]
 
 
 def strength_matrix_classical(A: sp.spmatrix, theta: float) -> sp.csr_matrix:
@@ -103,6 +104,106 @@ def cf_coloring_second(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
     return coloring
 
 
+def cf_coloring_second_s(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
+    """Alternative pass 2 minimising the coarse set (reference
+    coloring.jl:169-257): instead of promoting the first endpoint of every
+    uncovered strong F-F pair, repeatedly promote the F node covering the
+    MOST uncovered pairs until none remain."""
+    n = S.shape[0]
+    indptr, indices = S.indptr, S.indices
+    coloring = np.asarray(coloring).copy()
+    fconn = [set() for _ in range(n)]
+    cconn = [set() for _ in range(n)]
+    for i in range(n):
+        if coloring[i] == 1:
+            continue
+        for j in indices[indptr[i]:indptr[i + 1]]:
+            if j == i:
+                continue
+            (cconn[i] if coloring[j] == 1 else fconn[i]).add(int(j))
+
+    def clear_covered():
+        for i in range(n):
+            for j in list(fconn[i]):
+                if cconn[i] & cconn[j]:
+                    fconn[i].discard(j)
+                    fconn[j].discard(i)
+
+    clear_covered()
+    while True:
+        counts = [len(s) for s in fconn]
+        best = int(np.argmax(counts))
+        if counts[best] == 0:
+            break
+        coloring[best] = 1
+        for j in list(fconn[best]):
+            fconn[j].discard(best)
+            cconn[j].add(best)
+        fconn[best].clear()
+        clear_covered()
+    return coloring
+
+
+def standard_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
+                           coloring: np.ndarray) -> sp.csr_matrix:
+    """Textbook standard interpolation ("A Multigrid Tutorial"; reference
+    interpolation.jl:167-230): F-point weights distribute strong-F-neighbor
+    contributions through their shared strong C neighbors,
+      w_ij = -(a_ij + sum_m a_im a_mj / sum_{k in Cs_i ∩ S_m} a_mk) / denom,
+    denom = a_ii + sum of weak connections.
+
+    Like the reference (where getInterpolation2 exists but getInterpolation
+    dispatches to the direct variant, interpolation.jl:13), this formula
+    assumes an M-matrix fine operator; Galerkin coarse levels grow positive
+    off-diagonals that direct interpolation's pos/neg splitting handles but
+    this textbook form does not — use it for two-level or re-discretized
+    hierarchies."""
+    A = A.tocsr()
+    n = A.shape[0]
+    Sv = S.copy()
+    Sv.data = np.ones_like(Sv.data)
+    Sv = Sv.multiply(A).tocsr()
+    coarse_index = np.cumsum(coloring) - 1
+
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if coloring[i] == 1:
+            rows.append(i)
+            cols.append(coarse_index[i])
+            vals.append(1.0)
+            continue
+        slo, shi = Sv.indptr[i], Sv.indptr[i + 1]
+        s_idx = Sv.indices[slo:shi]
+        s_val = Sv.data[slo:shi]
+        off = s_idx != i
+        # denominator: full row sum minus strong off-diagonal connections
+        # (a_ii + weak sums, reference getDenominator interpolation.jl:101-113)
+        denom = A.data[A.indptr[i]:A.indptr[i + 1]].sum() - s_val[off].sum()
+        if denom == 0:
+            denom = A[i, i]
+        strongC_idx = s_idx[off & (coloring[s_idx] == 1)]
+        strongF_idx = s_idx[off & (coloring[s_idx] == 0)]
+        sv_of = dict(zip(s_idx.tolist(), s_val.tolist()))
+        for j in strongC_idx:
+            num = sv_of[int(j)]
+            for m in strongF_idx:
+                a_mj = A[int(m), int(j)]
+                if a_mj == 0:
+                    continue
+                mlo, mhi = Sv.indptr[m], Sv.indptr[m + 1]
+                m_idx = Sv.indices[mlo:mhi]
+                m_val = Sv.data[mlo:mhi]
+                inner = m_val[np.isin(m_idx, strongC_idx)].sum()
+                if inner == 0:
+                    continue
+                num += sv_of[int(m)] * a_mj / inner
+            rows.append(i)
+            cols.append(coarse_index[int(j)])
+            vals.append(-num / denom)
+    nc = int(np.sum(coloring))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, nc))
+
+
 def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
                          coloring: np.ndarray) -> sp.csr_matrix:
     """Direct interpolation P (n x nc) with pos/neg splitting
@@ -153,9 +254,15 @@ def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
 
 
 def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
-                        coarse_solver=None, verbose: bool = False) -> MGState:
+                        coarse_solver=None, verbose: bool = False,
+                        interpolation: str = "direct",
+                        coarsening: str = "common-c") -> MGState:
     """Build a classical-AMG hierarchy (reference ClassicalAMGsetup,
-    ClassicalAMG.jl:5-82)."""
+    ClassicalAMG.jl:5-82).
+
+    interpolation: "direct" (default; interpolation.jl:44-97) or "standard"
+    (textbook; interpolation.jl:167-230).  coarsening: "common-c" (default
+    pass 2, coloring.jl:104-122) or "min-coarse" (coloring.jl:169-257)."""
     t_all = time.perf_counter()
     A = sp.csr_matrix(A).astype(cfg.dtype)
     if cfg.relax_type not in ("jacobi", "jac-gmres", "spai"):
@@ -174,11 +281,18 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
             break
         relax = _RelaxThunk(A_l, cfg, rp_arr[l], None)
         S = strength_matrix_classical(A_l, cfg.strong_conn_param)
-        from ..utils import native
-        coloring = native.cf_coloring(S)
+        coloring = None
+        if coarsening == "common-c":
+            from ..utils import native
+            coloring = native.cf_coloring(S)
         if coloring is None:
-            coloring = cf_coloring_second(S, cf_coloring_first(S))
-        P = direct_interpolation(A_l.tocsr(), S, coloring)
+            first = cf_coloring_first(S)
+            coloring = (cf_coloring_second_s(S, first)
+                        if coarsening == "min-coarse"
+                        else cf_coloring_second(S, first))
+        interp = (standard_interpolation if interpolation == "standard"
+                  else direct_interpolation)
+        P = interp(A_l.tocsr(), S, coloring)
         if P.shape[0] == P.shape[1]:
             if verbose:
                 print(f"classical_amg_setup: stopped at level {l}")

@@ -270,3 +270,45 @@ def test_structured_sa_convergence_contract():
     b3 /= np.linalg.norm(b3)
     x3, info3 = solve_mg(st3, b3)
     assert np.linalg.norm(A3 @ np.asarray(x3) - b3) < 0.01
+
+
+def test_classical_amg_variants():
+    """Standard interpolation + min-coarse coloring (the reference's unused
+    alternatives, interpolation.jl:167-230 / coloring.jl:169-257) converge."""
+    import scipy.sparse as sp
+    from mgtpu.setup.classical_amg import (classical_amg_setup,
+                                           strength_matrix_classical,
+                                           cf_coloring_first,
+                                           cf_coloring_second,
+                                           cf_coloring_second_s)
+    from mgtpu.solvers.mg_solver import solve_cg_mg
+    from mgtpu import get_regular_mesh, get_mg_param
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [50, 50])
+    rng = np.random.RandomState(11)
+    sig = np.exp(rng.randn(M.num_cells))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-8 * abs(A).sum(0).max() * sp.identity(A.shape[0])).tocsr()
+
+    # min-coarse pass 2 yields a valid (covered) and not larger coarse set
+    S = strength_matrix_classical(A, 0.4)
+    first = cf_coloring_first(S)
+    common = cf_coloring_second(S, first.copy())
+    minc = cf_coloring_second_s(S, first.copy())
+    assert minc.sum() <= common.sum()
+
+    b = rng.rand(A.shape[0], 2)
+    # standard interpolation assumes an M-matrix fine operator (like the
+    # reference, which ships getInterpolation2 unused): exercise it two-level
+    for kw, levels in ((dict(interpolation="standard"), 2),
+                       (dict(coarsening="min-coarse"), 3),
+                       (dict(interpolation="standard",
+                             coarsening="min-coarse"), 2)):
+        cfg, rp = get_mg_param(levels=levels, relax_type="spai", nu_pre=2,
+                               nu_post=2, max_outer_iter=5,
+                               relative_tol=1e-10)
+        st = classical_amg_setup(A, cfg, rp, **kw)
+        x, info = solve_cg_mg(st, b)
+        r = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+        assert r < 0.005, (kw, r)
