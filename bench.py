@@ -214,6 +214,30 @@ def main():
     sa_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
                          st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
 
+    # 3D Poisson 128^3 (BASELINE protocol: 2D AND 3D end-to-end)
+    M3 = get_regular_mesh([0.0, 1.0] * 3, [128, 128, 128])
+    L3 = nodal_laplacian_matrix(M3)
+    L3 = (L3 + 1e-4 * abs(L3).sum(axis=0).max()
+          * sp.identity(L3.shape[0])).tocsr()
+    cfg3, rp3 = get_mg_param(levels=5, relax_type="jacobi", relax_param=0.8,
+                             nu_pre=1, nu_post=1, dtype=dtype)
+    st3 = mg_setup(L3, M3, cfg3, rp3)
+    bg3 = flat_to_grid(jnp.asarray(
+        rng.rand(L3.shape[0], 1).astype(dtype)), st3.hier.fine_grid)
+    cycle3_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg3, h, bb, xx),
+                             st3.hier, bg3, jnp.zeros_like(bg3), ks=(2, 22),
+                             reps=3)
+    b3_64 = L3 @ rng.rand(L3.shape[0])
+    b3_64 /= np.linalg.norm(b3_64)
+    _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
+
+    # multi-RHS throughput (block cycles are first-class, reference FGMRES.jl:51)
+    bg8 = flat_to_grid(jnp.asarray(
+        rng.rand(L.shape[0], 8).astype(dtype)), state.hier.fine_grid)
+    m8_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+                         state.hier, bg8, jnp.zeros_like(bg8), ks=(2, 22),
+                         reps=3)
+
     # the flat (ELL/DIA) engine, for the record
     cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
                                relax_param=0.8, nu_pre=1, nu_post=1,
@@ -259,6 +283,9 @@ def main():
             "cheb2_true_relres_f64": float(f"{true_rr_c:.3e}"),
             "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
+            "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
+            "poisson3d_iters_to_1e-8": int(rinfo3["iters"]),
+            "vcycle_8rhs_ms_per_rhs": round(m8_ms / 8, 4),
         },
     }
     print(json.dumps(result))

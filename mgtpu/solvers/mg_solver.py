@@ -262,16 +262,12 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
         else np.dtype(cfg.dtype)
     hier_lo = _cast_hier(hier, cd) if cd != np.dtype(cfg.dtype) else hier
 
-    b2, squeeze = _as_2d(jnp.asarray(b, dtype=outer_dtype))
-    x2 = (jnp.zeros_like(b2) if x is None
-          else _as_2d(jnp.asarray(x, dtype=outer_dtype))[0])
     to_internal, to_flat, cycle, _ = _cycle_runtime(cfg, hier)
-    matvec_hi = _high_precision_fine_op(state, outer_dtype)
-    bv = to_internal(b2)
-    xv = to_internal(x2)
+    squeeze = np.ndim(b) == 1
+    nrhs = 1 if squeeze else np.shape(b)[-1]
 
     df_op = (_df32_residual_op(state)
-             if device_loop and not verbose and not isinstance(bv, tuple)
+             if device_loop and not verbose
              and not np.issubdtype(np.dtype(outer_dtype), np.complexfloating)
              else None)
     if df_op is not None:
@@ -299,11 +295,17 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
         resvec = np.asarray(resvec)[:iters + 1]
         x_np = (np.asarray(to_flat(xh), np.float64)
                 + np.asarray(to_flat(xl), np.float64))
-        state.n_iter += iters * b2.shape[1]
+        state.n_iter += iters * nrhs
         state.time_solve += time.perf_counter() - t0
         x_out = x_np[:, 0] if squeeze else x_np
         return x_out, {"iters": iters, "relres": res / max(res0, 1e-300),
                        "resvec": resvec}
+    b2, squeeze = _as_2d(jnp.asarray(b, dtype=outer_dtype))
+    x2 = (jnp.zeros_like(b2) if x is None
+          else _as_2d(jnp.asarray(x, dtype=outer_dtype))[0])
+    matvec_hi = _high_precision_fine_op(state, outer_dtype)
+    bv = to_internal(b2)
+    xv = to_internal(x2)
     if device_loop and not verbose:
         xv, iters, res, res0, resvec = _refined_device_loop(
             cfg, hier_lo, matvec_hi, bv, xv, float(tol), int(max_iter), cd)
