@@ -286,6 +286,8 @@ def main():
             "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
             "poisson3d_iters_to_1e-8": int(rinfo3["iters"]),
             "vcycle_8rhs_ms_per_rhs": round(m8_ms / 8, 4),
+            "setup_2d_1024_s": round(state.time_setup, 2),
+            "setup_3d_128_s": round(st3.time_setup, 2),
         },
     }
     print(json.dumps(result))

@@ -265,6 +265,29 @@ _GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev")
 _DENSE_INV_MAX = 16384
 
 
+def _checked_inverse(Ad: np.ndarray) -> np.ndarray:
+    """Plain inverse with a residual check, pseudo-inverse fallback.
+
+    Neumann-type operators reach the coarsest level exactly singular
+    (constant nullspace) and need the minimal-norm pinv; for the regular
+    (shifted) case LU inversion is ~10x cheaper than the SVD."""
+    try:
+        with np.errstate(all="ignore"):
+            inv = np.linalg.inv(Ad)
+        # kappa ~ |A| |A^-1| must be far from 1/eps, else the nullspace
+        # (e.g. Neumann constants) leaks huge components into the inverse
+        # and only the minimal-norm pinv is safe
+        kappa = float(np.abs(Ad).max()) * float(np.abs(inv).max()) \
+            * Ad.shape[0]
+        resid = Ad @ inv - np.eye(Ad.shape[0], dtype=Ad.dtype)
+        if (np.isfinite(inv).all() and kappa < 1e12
+                and float(np.abs(resid).max()) < 1e-6):
+            return inv
+    except np.linalg.LinAlgError:
+        pass
+    return np.linalg.pinv(Ad, rcond=1e-12)
+
+
 def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
     """Build the grid engine for an MGState when eligible; raises ValueError
     otherwise (callers fall back to the flat ELL/DIA hierarchy)."""
@@ -280,11 +303,23 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
 
     from ..setup import transfers as tr
 
+    gs_cache = getattr(state, "_gs_cache", None) or {}
     levels = []
     for l in range(state.num_levels):
         mesh = state.meshes[l]
         nodes = [int(v) + 1 for v in np.asarray(mesh.n).ravel()]
-        A = make_grid_stencil(state.As[l], nodes, dtype=cfg.dtype)
+        gs_host = gs_cache.get(l)
+        if gs_host is not None and gs_host.grid == tuple(reversed(nodes)):
+            # stencil-form coefficients already produced by the structured
+            # RAP at setup — skip the CSR re-extraction
+            from ..ops.grid_stencil import compress_grid_stencil, GridStencil
+            gnp = GridStencil(np.asarray(gs_host.coeff, dtype=cfg.dtype),
+                              gs_host.offsets, gs_host.grid)
+            A = compress_grid_stencil(gnp)
+            if A is None:
+                A = GridStencil(jnp.asarray(gnp.coeff), gnp.offsets, gnp.grid)
+        else:
+            A = make_grid_stencil(state.As[l], nodes, dtype=cfg.dtype)
         d = None
         P1 = None
         if l < state.num_levels - 1:
@@ -296,13 +331,17 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
             # dense per-axis 1D transfer factors; verify their Kronecker
             # product is exactly the hierarchy's stored prolongation so the
             # matmul transfers are bitwise-faithful to the host setup
+            # (mg_setup's own full-weighting transfers are these factors BY
+            # construction — the kron re-assembly is skipped for them, it is
+            # the dominant 3D setup cost)
             p1s = [tr.fw_interp_1d(nn)[0] for nn in nodes]
-            K = p1s[0]
-            for pm in p1s[1:]:
-                K = sp.kron(pm, K, format="csr")
-            if (K != state.Ps[l]).nnz != 0:
-                raise ValueError("hierarchy transfers are not the separable "
-                                 "full-weighting factors")
+            if not getattr(state, "_fw_separable", False):
+                K = p1s[0]
+                for pm in p1s[1:]:
+                    K = sp.kron(pm, K, format="csr")
+                if (K != state.Ps[l]).nnz != 0:
+                    raise ValueError("hierarchy transfers are not the "
+                                     "separable full-weighting factors")
             P1 = tuple(jnp.asarray(np.asarray(p.todense(), dtype=cfg.dtype))
                        for p in reversed(p1s))
             lam = getattr(rs, "lam_max", None)
@@ -333,7 +372,7 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
             np.complex128 if np.iscomplexobj(A_c.data) else np.float64
         ).todense())
         if A_c.shape[0] <= 4096:
-            inv = np.linalg.pinv(Ad, rcond=1e-12)
+            inv = _checked_inverse(Ad)
         else:
             shift = 1e-8 * np.abs(Ad).sum(axis=0).max()
             inv = np.linalg.inv(Ad + shift * np.eye(Ad.shape[0], dtype=Ad.dtype))

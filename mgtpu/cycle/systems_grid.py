@@ -471,7 +471,8 @@ def build_systems_grid_hierarchy(state, relax_states) -> SystemsGridHierarchy:
     Ad = np.asarray(A_c.astype(
         np.complex128 if np.iscomplexobj(A_c.data) else np.float64).todense())
     if A_c.shape[0] <= 4096:
-        inv = np.linalg.pinv(Ad, rcond=1e-12)
+        from .grid_cycle import _checked_inverse
+        inv = _checked_inverse(Ad)
     else:
         shift = 1e-8 * np.abs(Ad).sum(axis=0).max()
         inv = np.linalg.inv(Ad + shift * np.eye(Ad.shape[0], dtype=Ad.dtype))

@@ -81,17 +81,20 @@ class GridStencil:
 
     def to_scipy(self) -> sp.csr_matrix:
         n = int(np.prod(self.grid))
-        strides = np.concatenate([np.cumprod(self.grid[::-1])[-2::-1], [1]])
-        coeff = np.asarray(self.coeff).reshape(len(self.offsets), n)
+        g = len(self.grid)
+        strides = [int(np.prod(self.grid[a + 1:])) for a in range(g)]
+        coeff = np.asarray(self.coeff)
+        idx_grid = np.arange(n).reshape(self.grid)
         rows, cols, vals = [], [], []
-        idx = np.arange(n)
-        coords = np.stack(np.unravel_index(idx, self.grid), axis=1)
         for k, off in enumerate(self.offsets):
-            tgt = coords + np.asarray(off)
-            ok = np.all((tgt >= 0) & (tgt < np.asarray(self.grid)), axis=1)
-            rows.append(idx[ok])
-            cols.append((tgt[ok] * strides).sum(axis=1))
-            vals.append(coeff[k, ok])
+            # valid rows form a rectangular box: pure slicing, no coordinate
+            # arithmetic (this conversion sits on the setup path)
+            sl = tuple(slice(max(0, -d), self.grid[a] - max(0, d))
+                       for a, d in enumerate(off))
+            r = idx_grid[sl].ravel()
+            rows.append(r)
+            cols.append(r + sum(d * s for d, s in zip(off, strides)))
+            vals.append(coeff[(k,) + sl].ravel())
         A = sp.coo_matrix((np.concatenate(vals),
                            (np.concatenate(rows), np.concatenate(cols))),
                           shape=(n, n))
@@ -150,6 +153,10 @@ def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
     # map every representable offset to its per-axis decomposition; prefer the
     # smallest shift radius that covers the matrix (radius 1 stays unambiguous
     # down to 3-node grids, where radius 2 aliases)
+    Ac = A.tocoo()
+    off_all = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
+    offs = np.unique(off_all)
+
     decomp: dict[int, tuple[int, ...]] = {}
     last_err = None
     for radius in range(1, max_shift + 1):
@@ -166,18 +173,11 @@ def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
             last_err = "ambiguous stencil decomposition (grid too small)"
             break
         decomp = cand
-        Ar = A.tocoo()
-        if all(int(o) in decomp
-               for o in np.unique(Ar.col.astype(np.int64)
-                                  - Ar.row.astype(np.int64))):
+        if all(int(o) in decomp for o in offs):
             break
         last_err = "matrix offsets exceed the stencil shift radius"
     if not decomp:
         raise ValueError(last_err)
-
-    Ac = A.tocoo()
-    off_all = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
-    offs = np.unique(off_all)
     offsets = []
     for off in offs:
         d = decomp.get(int(off))
@@ -188,7 +188,9 @@ def grid_stencil_from_csr(A: sp.spmatrix, node_counts,
     dt = dtype if dtype is not None else Ac.dtype
     coeff = np.zeros((len(offs), n), dtype=dt)
     pos = np.searchsorted(offs, off_all)
-    np.add.at(coeff, (pos, Ac.row), Ac.data.astype(dt))
+    # (pos, row) pairs are unique for a deduplicated sparse matrix, so plain
+    # assignment replaces np.add.at (which is ~10x slower)
+    coeff[pos, Ac.row] = Ac.data.astype(dt)
     grid = tuple(reversed(node_counts))
     # entries that would shift across a grid boundary cannot exist in a true
     # grid stencil; verify so wrap-around never aliases silently
@@ -233,6 +235,59 @@ def grid_stencil_matvec(coeff: jax.Array,
             xs = _shift(xs, xs.ndim - g + a, da, grid[a])
         y = y + coeff[k] * xs
     return y
+
+
+def structured_fw_rap(gs: GridStencil) -> GridStencil:
+    """Galerkin RAP under separable full-weighting transfers on odd grids,
+    computed axis-by-axis on the stencil coefficient arrays.
+
+    A_c = R A P with P = kron of 1D [0.5, 1, 0.5] interpolations
+    (setup/transfers.fw_interp) and R = 0.5^dim P^T factorises per axis:
+    coarsening one axis maps offset s to t with
+      Ac_t[.., I, ..] += 0.5 * w(u) * w(v) * A_s[.., 2I+u, ..],
+    v = u + s - 2t, u, v in {-1,0,1} — pure stride-2 numpy views.  Boundary
+    truncation of the 1D factors is reproduced exactly by zero padding, so
+    the result matches the sparse triple product to rounding (tests pin it
+    to 1e-13); two scipy SpGEMMs per level become ~30 strided elementwise
+    passes.  Host-side, numpy in/out.
+    """
+    coeff = np.asarray(gs.coeff)
+    offsets = [tuple(o) for o in gs.offsets]
+    if any(abs(d) > 1 for o in offsets for d in o):
+        raise ValueError("structured RAP needs a +-1 stencil")
+    grid = list(gs.grid)
+    W = {-1: 0.5, 0: 1.0, 1: 0.5}
+    for a in range(len(grid)):
+        F = grid[a]
+        if (F - 1) % 2:
+            raise ValueError("structured RAP needs odd extents per axis")
+        C = (F - 1) // 2 + 1
+        pad = [(0, 0)] * coeff.ndim
+        pad[1 + a] = (1, 1)
+        cp = np.pad(coeff, pad)
+        out: dict = {}
+        for k, off in enumerate(offsets):
+            s = off[a]
+            ck = cp[k]
+            for u in (-1, 0, 1):
+                for v in (-1, 0, 1):
+                    if (u + s - v) % 2:
+                        continue
+                    t = (u + s - v) // 2
+                    if abs(t) > 1:
+                        continue
+                    sl = [slice(None)] * ck.ndim
+                    sl[a] = slice(u + 1, u + 2 * C, 2)
+                    contrib = (0.5 * W[u] * W[v]) * ck[tuple(sl)]
+                    noff = off[:a] + (t,) + off[a + 1:]
+                    if noff in out:
+                        out[noff] += contrib
+                    else:
+                        out[noff] = contrib
+        offsets = sorted(out.keys())
+        grid[a] = C
+        coeff = np.stack([out[o] for o in offsets], axis=0)
+    return GridStencil(coeff, tuple(offsets), tuple(grid))
 
 
 # ---------------------------------------------------------------------------

@@ -359,6 +359,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
     cop = A.nnz
     dim = mesh.dim
     levels = cfg.levels
+    _gs_cache: dict = {}
 
     for l in range(cfg.levels - 1):
         t0 = time.perf_counter()
@@ -389,7 +390,27 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
         mesh_c = get_regular_mesh(meshes[l].domain, nc)
         meshes.append(mesh_c)
         if ctor is None:
-            A_c = (R @ A_l @ P).tocsr()
+            A_c = None
+            if cfg.transfer_type == "full-weighting":
+                # structured stencil RAP: two scipy SpGEMMs -> ~30 strided
+                # numpy passes on the grid-form coefficients (which the grid
+                # engine reuses via the cache below)
+                from ..ops.grid_stencil import (grid_stencil_from_csr,
+                                                structured_fw_rap)
+                try:
+                    gs_f = _gs_cache.get(l)
+                    if gs_f is None:
+                        gs_f = grid_stencil_from_csr(A_l, list(n + 1),
+                                                     device=False)
+                        _gs_cache[l] = gs_f
+                    gs_c = structured_fw_rap(gs_f)
+                    _gs_cache[l + 1] = gs_c
+                    A_c = gs_c.to_scipy().tocsr()
+                    A_c.eliminate_zeros()   # boundary non-entries
+                except ValueError:
+                    A_c = None
+            if A_c is None:
+                A_c = (R @ A_l @ P).tocsr()
         else:
             ctor = ctor.restricted(meshes[l], mesh_c, l)
             A_c = sp.csr_matrix(ctor.operator(mesh_c))
@@ -408,6 +429,12 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
 
     state = MGState(cfg, relax_param, As, Ps, Rs, meshes,
                     A_input=A_input, coarse_solver=coarse_solver)
+    state._gs_cache = {k: v for k, v in _gs_cache.items()
+                       if v.coeff.dtype == np.dtype(cfg.dtype)} \
+        if _gs_cache else {}
+    # full-weighting transfers built above ARE the separable fw_interp
+    # factors; the grid engine can skip re-verifying them by kron assembly
+    state._fw_separable = cfg.transfer_type == "full-weighting"
     t0 = time.perf_counter()
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     if verbose:
@@ -426,6 +453,7 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
                                 verbose: bool = False) -> MGState:
     """Re-setup for a new matrix with the same sparsity/geometry, reusing the
     existing transfers (reference replaceMatrixInHierarchy, MGsetup.jl:226-270)."""
+    state._gs_cache = {}        # host stencil cache is stale for the new matrix
     cfg = state.config
     t_all = time.perf_counter()
     rp_arr = _per_level_relax_param(state.relax_param, cfg.levels)
@@ -453,6 +481,7 @@ def transpose_hierarchy(state: MGState, verbose: bool = False) -> MGState:
     """Flip the hierarchy to solve A^H x = b (reference transposeHierarchy,
     MGsetup.jl:274-318): conjugate-transpose every level, swap P/R, re-derive
     smoothers, refactor the coarsest."""
+    state._gs_cache = {}        # host stencil cache is stale for A^H
     if state.config.relax_type not in ("jacobi", "jac-gmres", "spai"):
         raise NotImplementedError(
             "transpose is supported for pointwise relaxations only "
