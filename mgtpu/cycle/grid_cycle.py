@@ -154,6 +154,9 @@ def _fused_mode() -> str:
     return "off"
 
 
+_FUSED_MIN_NODES = 2 ** 18     # below this a Pallas call's fixed cost loses
+
+
 def _fused_interpret(cfg, lvl: "GridLevel"):
     """interpret-flag for the fused kernels at this level, or None (XLA path)."""
     if cfg.relax_type not in ("jacobi", "spai") or lvl.d is None:
@@ -163,6 +166,8 @@ def _fused_interpret(cfg, lvl: "GridLevel"):
         return None
     from ..ops.pallas import fused_const as fk
     if not fk.supports_fused(lvl.A, lvl.d.dtype):
+        return None
+    if mode == "on" and int(np.prod(lvl.A.grid)) < _FUSED_MIN_NODES:
         return None
     return mode == "interpret"
 

@@ -84,3 +84,27 @@ def test_restrict_cell_centered_variables_large():
     rc = tr.restrict_cell_centered_variables(rho, n)
     assert rc.size == 64
     np.testing.assert_allclose(rc, 1.0, atol=1e-14)
+
+
+def test_restrict_nodal_variables():
+    """Nodal coefficient coarsening (reference restrictNodalVariables,
+    GeometricTransferOperators.jl:61-66: 0.5^dim * P' rho).  Interior coarse
+    nodes average to the exact constant/linear value; boundary rows carry the
+    reference's truncated full-weighting sums (0.75 edge, 0.5625 corner)."""
+    n_nodes = [9, 9]
+    rho = np.ones(int(np.prod(n_nodes)))
+    rc = np.asarray(tr.restrict_nodal_variables(rho, n_nodes)).reshape(5, 5,
+                                                                       order="F")
+    np.testing.assert_allclose(rc[1:-1, 1:-1], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(rc[0, 1:-1], 0.75, rtol=1e-12)   # edges
+    np.testing.assert_allclose(rc[0, 0], 0.5625, rtol=1e-12)    # corner
+    # linear fields restrict to the same linear field at interior nodes
+    x = np.linspace(0.0, 1.0, 9)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    f = (2 * X + 3 * Y).reshape(-1, order="F")
+    fc = np.asarray(tr.restrict_nodal_variables(f, n_nodes)).reshape(
+        5, 5, order="F")
+    xc = np.linspace(0.0, 1.0, 5)
+    Xc, Yc = np.meshgrid(xc, xc, indexing="ij")
+    ref = 2 * Xc + 3 * Yc
+    np.testing.assert_allclose(fc[1:-1, 1:-1], ref[1:-1, 1:-1], atol=1e-10)
