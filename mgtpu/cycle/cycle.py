@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..setup.hierarchy import MGConfig, Hierarchy, VANKA_TYPES
-from .relax import relax_diag, fgmres_relaxation, chebyshev_smooth
+from .relax import (relax_diag, fgmres_relaxation, chebyshev_smooth,
+                    chebyshev4_smooth)
 from .vanka import vanka_sweep
 from .kaczmarz import kaczmarz_sweep
 
@@ -36,6 +37,10 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
         return chebyshev_smooth(matvec, level.relax.d[:, None],
                                 level.relax.lam_max, cfg.cheby_degree * nu,
                                 cfg.cheby_frac, r, x, b)
+    if rt == "chebyshev4":
+        return chebyshev4_smooth(matvec, level.relax.d[:, None],
+                                 level.relax.lam_max, cfg.cheby_degree * nu,
+                                 r, x)
     if rt in VANKA_TYPES:
         return vanka_sweep(x, b, level.relax, nu)
     if rt == "hybrid-kaczmarz":

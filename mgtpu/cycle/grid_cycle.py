@@ -182,6 +182,10 @@ def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
         return chebyshev_smooth(lvl.A.matvec, lvl.d, lvl.lam,
                                 cfg.cheby_degree * nu, cfg.cheby_frac,
                                 r, x, b)
+    if cfg.relax_type == "chebyshev4":
+        from .relax import chebyshev4_smooth
+        return chebyshev4_smooth(lvl.A.matvec, lvl.d, lvl.lam,
+                                 cfg.cheby_degree * nu, r, x)
     # jacobi / spai: x += d .* r with the residual refreshed between sweeps
     for _ in range(nu - 1):
         x = x + lvl.d * r
@@ -266,7 +270,7 @@ def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
 # construction from a host hierarchy
 # ---------------------------------------------------------------------------
 
-_GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev")
+_GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev", "chebyshev4")
 _DENSE_INV_MAX = 16384
 
 

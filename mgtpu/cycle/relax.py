@@ -49,6 +49,23 @@ class ChebyshevRelax:
     lam_max: float      # upper bound on spec(D^-1 A), with safety factor
 
 
+def chebyshev4_smooth(matvec, d, lam_max, degree: int, r, x):
+    """Fourth-kind Chebyshev smoothing (Lottes; see "Optimal Polynomial
+    Smoothers for Parallel AMG", arXiv:2407.09848): damps the whole interval
+    (0, lam_max] with no lower-bound parameter — unlike the first-kind
+    recurrence there is no `frac` to tune.  One matvec per degree; `r` is the
+    incoming residual b - A x.
+    """
+    z = (4.0 / (3.0 * lam_max)) * (d * r)
+    x = x + z
+    for k in range(2, degree + 1):
+        r = r - matvec(z)
+        z = ((2.0 * k - 3.0) / (2.0 * k + 1.0)) * z + \
+            ((8.0 * k - 4.0) / ((2.0 * k + 1.0) * lam_max)) * (d * r)
+        x = x + z
+    return x
+
+
 def chebyshev_smooth(matvec, d, lam_max, degree: int, frac: float,
                      r, x, b):
     """Degree-`degree` Chebyshev smoothing on [frac*lam, 1.02*lam].

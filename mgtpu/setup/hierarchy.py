@@ -57,6 +57,7 @@ _RELAX_ALIASES = {
     "hybridKaczmarzNodal": "hybrid-kaczmarz",
     "hybridVankaFacesKaczmarz": "kaczmarz-vanka",
     "Cheb": "chebyshev", "Chebyshev": "chebyshev",
+    "Cheb4": "chebyshev4", "Chebyshev4": "chebyshev4",
 }
 _TRANSFER_ALIASES = {
     "FullWeighting": "full-weighting",
@@ -212,7 +213,7 @@ def _setup_relax(A: sp.spmatrix, cfg: MGConfig, relax_param, mesh):
         return sm.jacobi_prec(A, relax_param, dtype=cfg.dtype)
     if rt == "spai":
         return sm.spai_prec(A, relax_param, dtype=cfg.dtype)
-    if rt == "chebyshev":
+    if rt in ("chebyshev", "chebyshev4"):
         return sm.chebyshev_prec(A, relax_param, dtype=cfg.dtype)
     if rt in VANKA_TYPES:
         return sm.setup_vanka(A, mesh, relax_param, cfg.mixed, rt,

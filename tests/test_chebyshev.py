@@ -70,3 +70,20 @@ def test_chebyshev_refined_beats_jacobi_iterations():
         assert true_rr < 2e-8
         iters[rt] = info["iters"]
     assert iters["chebyshev"] < 0.7 * iters["jacobi"]
+
+
+def test_chebyshev4_converges():
+    """Fourth-kind Chebyshev (arXiv:2407.09848): no lower-bound parameter,
+    same iteration counts as the tuned first-kind on the model problem."""
+    M, L = _poisson(128)
+    cfg, rp = get_mg_param(levels=5, relax_type="chebyshev4", cheby_degree=2,
+                           nu_pre=1, nu_post=1, dtype=np.float32)
+    state = mg_setup(L, M, cfg, rp)
+    b = L @ np.random.RandomState(4).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg_refined(state, b, tol=1e-8, max_iter=40)
+    true_rr = (np.linalg.norm(b - state.A_input.astype(np.float64)
+                              @ np.asarray(x, np.float64))
+               / np.linalg.norm(b))
+    assert true_rr < 2e-8
+    assert info["iters"] <= 9
