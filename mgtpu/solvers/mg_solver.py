@@ -230,7 +230,7 @@ def _df32_residual_op(state: MGState):
 def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
                      max_iter: int | None = None, outer_dtype=None,
                      cycle_dtype=None, device_loop: bool = True,
-                     verbose: bool = False):
+                     fmg: bool = False, verbose: bool = False):
     """Mixed-precision iterative refinement: x += Cycle_low(b - A x |_high).
 
     The residual is computed at `outer_dtype` (default: float64/complex128)
@@ -289,7 +289,8 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
             xl2, _ = _as_2d(jnp.asarray(x_lo))
         xh, xl, iters, res, res0, resvec = _refined_device_loop_df32(
             cfg, hier_lo, df_op, to_internal(bh2), to_internal(bl2),
-            to_internal(xh2), to_internal(xl2), float(tol), int(max_iter), cd)
+            to_internal(xh2), to_internal(xl2), float(tol), int(max_iter), cd,
+            bool(fmg and x is None))
         iters = int(iters)
         res, res0 = float(res), float(res0)
         resvec = np.asarray(resvec)[:iters + 1]
@@ -385,17 +386,23 @@ def _refined_device_loop(cfg, hier_lo, matvec_hi, bv, xv, tol, max_iter, cd):
     return x, iters, res, res0, resvec
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tol", "max_iter", "cd"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tol", "max_iter", "cd",
+                                              "use_fmg"))
 def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
-                              tol, max_iter, cd):
+                              tol, max_iter, cd, use_fmg=False):
     """Refinement loop with a double-single (two-f32) fine residual.
 
     One device dispatch for the whole solve; the compensated residual
     (ops/df32.py) replaces the ~5x-slower emulated-f64 SpMV while keeping
-    ~1e-13 effective residual precision.
+    ~1e-13 effective residual precision.  use_fmg seeds x with one full
+    multigrid pass (discretization-accuracy initial guess).
     """
-    from ..cycle.grid_cycle import grid_cycle
+    from ..cycle.grid_cycle import grid_cycle, grid_fmg
     from ..ops.df32 import df_residual, df_accumulate
+
+    if use_fmg:
+        z = grid_fmg(cfg, hier_lo, b_hi.astype(cd)).astype(jnp.float32)
+        xh, xl = df_accumulate(xh, xl, z)
 
     res0 = jnp.sqrt(jnp.sum(b_hi * b_hi))
     resvec = jnp.zeros((max_iter + 1,), jnp.float32)

@@ -87,3 +87,21 @@ def test_chebyshev4_converges():
                / np.linalg.norm(b))
     assert true_rr < 2e-8
     assert info["iters"] <= 9
+
+
+def test_fmg_initial_guess():
+    """solve_mg_refined(fmg=True): full-multigrid initial guess converges to
+    the same certified accuracy in no more iterations."""
+    M, L = _poisson(128)
+    cfg, rp = get_mg_param(levels=5, relax_type="chebyshev", cheby_degree=2,
+                           nu_pre=1, nu_post=1, dtype=np.float32)
+    state = mg_setup(L, M, cfg, rp)
+    b = L @ np.random.RandomState(6).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    x0, i0 = solve_mg_refined(state, b, tol=1e-8, max_iter=40)
+    x1, i1 = solve_mg_refined(state, b, tol=1e-8, max_iter=40, fmg=True)
+    for x in (x0, x1):
+        tr = (np.linalg.norm(b - state.A_input.astype(np.float64)
+                             @ np.asarray(x, np.float64)) / np.linalg.norm(b))
+        assert tr < 2e-8
+    assert i1["iters"] <= i0["iters"]
