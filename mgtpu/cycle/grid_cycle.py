@@ -303,17 +303,22 @@ def _checked_inverse(Ad: np.ndarray) -> np.ndarray:
     Neumann-type operators reach the coarsest level exactly singular
     (constant nullspace) and need the minimal-norm pinv; for the regular
     (shifted) case LU inversion is ~10x cheaper than the SVD."""
+    n = Ad.shape[0]
     try:
         with np.errstate(all="ignore"):
             inv = np.linalg.inv(Ad)
         # kappa ~ |A| |A^-1| must be far from 1/eps, else the nullspace
         # (e.g. Neumann constants) leaks huge components into the inverse
         # and only the minimal-norm pinv is safe
-        kappa = float(np.abs(Ad).max()) * float(np.abs(inv).max()) \
-            * Ad.shape[0]
-        resid = Ad @ inv - np.eye(Ad.shape[0], dtype=Ad.dtype)
-        if (np.isfinite(inv).all() and kappa < 1e12
-                and float(np.abs(resid).max()) < 1e-6):
+        kappa = float(np.abs(Ad).max()) * float(np.abs(inv).max()) * n
+        # residual check on a column sample (a full n^3 check would cost as
+        # much as the inversion itself at SA coarse sizes)
+        cols = (np.arange(n) if n <= 512
+                else np.random.RandomState(0).choice(n, 256, replace=False))
+        eye = np.zeros((n, len(cols)), dtype=Ad.dtype)
+        eye[cols, np.arange(len(cols))] = 1.0
+        err = float(np.abs(Ad @ inv[:, cols] - eye).max())
+        if np.isfinite(inv).all() and kappa < 1e12 and err < 1e-6:
             return inv
     except np.linalg.LinAlgError:
         pass
