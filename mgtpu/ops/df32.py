@@ -135,19 +135,17 @@ def df_residual(dfA: DFConstStencil, b_hi, b_lo, x_hi, x_lo):
     xhp = jnp.pad(x_hi, pad)
     xlp = jnp.pad(x_lo, pad)
 
-    def region(start, size, c_hi, c_lo, scalar_coeff):
+    def region(start, size, c_hi, c_lo):
         sl = tuple([slice(None)] * nb +
                    [slice(s, s + z) for s, z in zip(start, size)])
         s = b_hi[sl]
         e = b_lo[sl]
-        shape = b_hi[sl].shape
         for k, off in enumerate(offsets):
             st = [0] * nb + [lo_pad[a] + start[a] + off[a] for a in range(g)]
             sz = list(x_hi.shape[:nb]) + list(size)
             xs_hi = jax.lax.dynamic_slice(xhp, st, sz)
             xs_lo = jax.lax.dynamic_slice(xlp, st, sz)
-            ch = c_hi[k] if scalar_coeff else c_hi[k]
-            cl = c_lo[k] if scalar_coeff else c_lo[k]
+            ch, cl = c_hi[k], c_lo[k]
             p, pe = two_prod(ch, xs_hi)
             cross = ch * xs_lo + cl * xs_hi + pe
             s, e2 = two_sum(s, -p)
@@ -157,7 +155,7 @@ def df_residual(dfA: DFConstStencil, b_hi, b_lo, x_hi, x_lo):
 
     def assemble(a, start, size):
         if a == g:
-            return region(start, size, dfA.const_hi, dfA.const_lo, True)
+            return region(start, size, dfA.const_hi, dfA.const_lo)
         (lo_s, lo_z) = boxes[2 * a]
         (hi_s, hi_z) = boxes[2 * a + 1]
         w = lo_z[a]
@@ -165,10 +163,10 @@ def df_residual(dfA: DFConstStencil, b_hi, b_lo, x_hi, x_lo):
         mid_start[a] = start[a] + w
         mid_size[a] = size[a] - 2 * w
         mid = assemble(a + 1, mid_start, mid_size)
-        low = region(lo_s, lo_z, dfA.strips_hi[2 * a], dfA.strips_lo[2 * a],
-                     False)
+        low = region(lo_s, lo_z, dfA.strips_hi[2 * a],
+                     dfA.strips_lo[2 * a])
         high = region(hi_s, hi_z, dfA.strips_hi[2 * a + 1],
-                      dfA.strips_lo[2 * a + 1], False)
+                      dfA.strips_lo[2 * a + 1])
         ax = nb + a
         return (jnp.concatenate([low[0], mid[0], high[0]], axis=ax),
                 jnp.concatenate([low[1], mid[1], high[1]], axis=ax))

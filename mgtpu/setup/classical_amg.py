@@ -20,7 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .hierarchy import (MGConfig, MGState, _per_level_relax_param,
-                        _setup_relax, _RelaxThunk, build_device_hierarchy)
+                        _RelaxThunk, build_device_hierarchy)
 
 __all__ = ["classical_amg_setup", "strength_matrix_classical",
            "cf_coloring_first", "cf_coloring_second", "cf_coloring_second_s",
