@@ -41,6 +41,9 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
         return chebyshev4_smooth(matvec, level.relax.d[:, None],
                                  level.relax.lam_max, cfg.cheby_degree * nu,
                                  r, x)
+    if rt == "line-jacobi":
+        raise ValueError("line-jacobi is a grid-engine smoother (regular "
+                         "meshes with full-weighting transfers)")
     if rt in VANKA_TYPES:
         return vanka_sweep(x, b, level.relax, nu)
     if rt == "hybrid-kaczmarz":

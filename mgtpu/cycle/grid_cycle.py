@@ -186,6 +186,9 @@ def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
         from .relax import chebyshev4_smooth
         return chebyshev4_smooth(lvl.A.matvec, lvl.d, lvl.lam,
                                  cfg.cheby_degree * nu, r, x)
+    if cfg.relax_type == "line-jacobi":
+        from .relax import line_smooth
+        return line_smooth(lvl.A.matvec, lvl.d, r, x, b, nu)
     # jacobi / spai: x += d .* r with the residual refreshed between sweeps
     for _ in range(nu - 1):
         x = x + lvl.d * r
@@ -293,7 +296,8 @@ def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
 # construction from a host hierarchy
 # ---------------------------------------------------------------------------
 
-_GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev", "chebyshev4")
+_GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev", "chebyshev4",
+               "line-jacobi")
 _DENSE_INV_MAX = 16384
 
 
@@ -362,9 +366,13 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
         if l < state.num_levels - 1:
             from ..setup.hierarchy import _resolve_relax
             rs = _resolve_relax(relax_states[l])
-            if not hasattr(rs, "d"):
+            from .relax import LineRelax
+            if isinstance(rs, LineRelax):
+                d = rs                       # line state rides in the d slot
+            elif hasattr(rs, "d"):
+                d = jnp.asarray(rs.d).reshape(A.grid)
+            else:
                 raise ValueError("grid engine needs a diagonal relax state")
-            d = jnp.asarray(rs.d).reshape(A.grid)
             # dense per-axis 1D transfer factors; verify their Kronecker
             # product is exactly the hierarchy's stored prolongation so the
             # matmul transfers are bitwise-faithful to the host setup

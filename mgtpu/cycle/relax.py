@@ -125,3 +125,63 @@ def fgmres_relaxation(matvec, prec, r0, x0, inner: int):
     c = AZ.conj().T @ r0.reshape(-1)
     t = jnp.linalg.pinv(G, rtol=1e-12) @ c
     return x0 + (Z @ t).reshape(x0.shape)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["alpha", "pivot", "cprime"],
+                   meta_fields=["axis", "omega"])
+@dataclass(frozen=True)
+class LineRelax:
+    """Damped line-Jacobi smoother state: x += omega * T^-1 r, with T the
+    tridiagonal part of A along one grid axis.
+
+    Point smoothers stall on anisotropic operators (eps*u_xx + u_yy under
+    full coarsening); solving whole lines along the strong axis restores
+    h-independent smoothing.  The reference has no line smoother.
+
+    TPU-native solve: the Thomas factorisation is sequential, but its PIVOTS
+    depend only on the matrix, so they are precomputed on host at setup;
+    per application only first-order LINEAR recurrences remain, which run as
+    log-depth `lax.associative_scan`s along the line axis:
+        forward:  y_i = alpha_i y_{i-1} + pivot_i r_i
+        backward: x_i = y_i - cprime_i x_{i+1}
+
+    alpha  = -pivot * sub   (grid-shaped, zero at line starts)
+    pivot  = 1 / (diag - sub * cprime_{i-1})
+    cprime = super * pivot  (zero at line ends)
+    axis   = grid axis of the lines; omega = damping.
+    """
+    alpha: jax.Array
+    pivot: jax.Array
+    cprime: jax.Array
+    axis: int
+    omega: float
+
+
+def _scan_linear(alpha, beta, axis, reverse=False):
+    """y_i = alpha_i y_{i-1} + beta_i along `axis` (associative scan)."""
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return (ar * al, ar * bl + br)
+    ya, yb = jax.lax.associative_scan(combine, (alpha, beta), axis=axis,
+                                      reverse=reverse)
+    return yb
+
+
+def line_solve(lr: LineRelax, r):
+    """T^-1 r for grid fields r of shape (.., *grid)."""
+    ax = r.ndim - (lr.alpha.ndim - lr.axis)
+    beta = lr.pivot * r
+    y = _scan_linear(jnp.broadcast_to(lr.alpha, beta.shape), beta, ax)
+    x = _scan_linear(jnp.broadcast_to(-lr.cprime, y.shape), y, ax,
+                     reverse=True)
+    return x
+
+
+def line_smooth(matvec, lr: LineRelax, r, x, b, nu: int):
+    """nu sweeps of x += omega * T^-1 r with refreshed residuals."""
+    for _ in range(nu - 1):
+        x = x + lr.omega * line_solve(lr, r)
+        r = b - matvec(x)
+    return x + lr.omega * line_solve(lr, r)

@@ -58,6 +58,7 @@ _RELAX_ALIASES = {
     "hybridVankaFacesKaczmarz": "kaczmarz-vanka",
     "Cheb": "chebyshev", "Chebyshev": "chebyshev",
     "Cheb4": "chebyshev4", "Chebyshev4": "chebyshev4",
+    "LineJac": "line-jacobi",
 }
 _TRANSFER_ALIASES = {
     "FullWeighting": "full-weighting",
@@ -215,6 +216,8 @@ def _setup_relax(A: sp.spmatrix, cfg: MGConfig, relax_param, mesh):
         return sm.spai_prec(A, relax_param, dtype=cfg.dtype)
     if rt in ("chebyshev", "chebyshev4"):
         return sm.chebyshev_prec(A, relax_param, dtype=cfg.dtype)
+    if rt == "line-jacobi":
+        return sm.line_prec(A, mesh, relax_param, dtype=cfg.dtype)
     if rt in VANKA_TYPES:
         return sm.setup_vanka(A, mesh, relax_param, cfg.mixed, rt,
                               dtype=cfg.dtype)

@@ -257,3 +257,59 @@ def setup_vanka(A: sp.spmatrix, mesh: RegularMesh, w, include_pressure: bool,
         grv[g, :k] = val_host[I[cells]].astype(dt)
     return VankaRelax(jnp.asarray(gi), jnp.asarray(gd), jnp.asarray(gri),
                       jnp.asarray(grv), variant)
+
+
+def line_prec(A: sp.spmatrix, mesh, omega, dtype=None, axis=None):
+    """Line-Jacobi smoother state: tridiagonal part of A along one grid axis
+    with host-precomputed Thomas pivots (see cycle.relax.LineRelax).
+
+    axis: grid axis of the lines (slowest mesh dim first), or None to pick
+    the axis with the strongest mean unit-offset coupling automatically.
+    `omega` may be a float or a {"omega": w, "axis": a} mapping.
+    """
+    from ..ops.grid_stencil import grid_stencil_from_csr
+    from ..cycle.relax import LineRelax
+
+    if isinstance(omega, dict):
+        axis = omega.get("axis", axis)
+        omega = omega.get("omega", 1.0)
+    if mesh is None:
+        raise ValueError("line-jacobi needs a regular mesh (grid engine)")
+    nodes = [int(v) + 1 for v in np.asarray(mesh.n).ravel()]
+    gs = grid_stencil_from_csr(sp.csr_matrix(A), nodes, device=False)
+    grid = gs.grid
+    g = len(grid)
+    coeff = np.asarray(gs.coeff, dtype=np.float64)
+
+    def unit_coeff(a, sgn):
+        want = tuple(sgn if k == a else 0 for k in range(g))
+        for k, off in enumerate(gs.offsets):
+            if tuple(off) == want:
+                return coeff[k]
+        return np.zeros(grid)
+
+    if axis is None:
+        strength = [abs(unit_coeff(a, -1)).mean() + abs(unit_coeff(a, 1)).mean()
+                    for a in range(g)]
+        axis = int(np.argmax(strength))
+
+    diag = unit_coeff(axis, 0)       # placeholder; replaced by offset-0 below
+    for k, off in enumerate(gs.offsets):
+        if all(d == 0 for d in off):
+            diag = coeff[k]
+            break
+    sub = np.moveaxis(unit_coeff(axis, -1), axis, -1)
+    sup = np.moveaxis(unit_coeff(axis, 1), axis, -1)
+    dia = np.moveaxis(diag, axis, -1)
+    n = dia.shape[-1]
+    piv = np.zeros_like(dia)
+    cp = np.zeros_like(dia)
+    piv[..., 0] = 1.0 / dia[..., 0]
+    cp[..., 0] = sup[..., 0] * piv[..., 0]
+    for i in range(1, n):
+        piv[..., i] = 1.0 / (dia[..., i] - sub[..., i] * cp[..., i - 1])
+        cp[..., i] = sup[..., i] * piv[..., i]
+    alpha = -piv * sub               # zero at line starts (sub[...,0] == 0)
+    dt = dtype if dtype is not None else coeff.dtype
+    mv = lambda a: jnp.asarray(np.moveaxis(a, -1, axis).astype(dt))
+    return LineRelax(mv(alpha), mv(piv), mv(cp), int(axis), float(omega))

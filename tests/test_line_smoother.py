@@ -1,0 +1,79 @@
+"""Line-Jacobi smoother (scan-based tridiagonal solves; no reference analog).
+
+Point smoothers stall on anisotropic operators under full coarsening; line
+relaxation along the strong axis restores multigrid efficiency.
+"""
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from mgtpu import get_regular_mesh, get_mg_param, mg_setup
+from mgtpu.solvers.mg_solver import solve_mg
+from mgtpu.cycle.relax import line_solve
+from mgtpu.setup.smoothers import line_prec
+
+
+def _aniso(n, eps):
+    """eps*u_xx + u_yy on the (n+1)^2 node grid (5-point, Dirichlet-type)."""
+    N = n + 1
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    I = sp.identity(N)
+    A = eps * sp.kron(I, T) + sp.kron(T, I)
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    return M, sp.csr_matrix(A)
+
+
+def test_line_solve_exact_tridiagonal():
+    """T^-1 via associative scans == scipy solve on the pure-line operator."""
+    n = 32
+    M, A = _aniso(n, 1.0)
+    lr = line_prec(A, M, 1.0, dtype=np.float64, axis=1)
+    # build T: tridiagonal part of A along grid axis 1 (lines over columns)
+    N = n + 1
+    T = sp.lil_matrix(A.shape)
+    for i in range(A.shape[0]):
+        for off in (-1, 0, 1):
+            j = i + off
+            if 0 <= j < A.shape[0] and (i // N) == (j // N):
+                T[i, j] = A[i, j]
+    T = sp.csr_matrix(T)
+    rng = np.random.RandomState(0)
+    r = rng.rand(A.shape[0])
+    x_ref = sp.linalg.spsolve(T.tocsc(), r)
+    rg = jnp.asarray(r.reshape(1, N, N))
+    x = np.asarray(line_solve(lr, rg)).reshape(-1)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_line_jacobi_beats_point_jacobi_on_anisotropy():
+    n = 64
+    eps = 100.0
+    M, A = _aniso(n, eps)
+    b = A @ np.random.RandomState(1).rand(A.shape[0])
+    b /= np.linalg.norm(b)
+
+    res = {}
+    for rt, rp in (("jacobi", 0.8), ("line-jacobi", 1.0)):
+        cfg, rpv = get_mg_param(levels=4, relax_type=rt, relax_param=rp,
+                                nu_pre=1, nu_post=1, max_outer_iter=8,
+                                relative_tol=1e-12)
+        st = mg_setup(A, M, cfg, rpv)
+        x, info = solve_mg(st, b)
+        res[rt] = info["relres"]
+    # strong coupling along x (eps*u_xx): lines must be auto-detected there
+    assert res["line-jacobi"] < 5e-3
+    assert res["line-jacobi"] < 1e-2 * res["jacobi"]
+
+
+def test_line_jacobi_isotropic_still_converges():
+    n = 64
+    M, A = _aniso(n, 1.0)
+    b = A @ np.random.RandomState(2).rand(A.shape[0])
+    b /= np.linalg.norm(b)
+    # isotropic problems want damping (omega ~ 0.8), like point Jacobi
+    cfg, rp = get_mg_param(levels=4, relax_type="line-jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, max_outer_iter=8,
+                           relative_tol=1e-12)
+    st = mg_setup(A, M, cfg, rp)
+    x, info = solve_mg(st, b)
+    assert info["relres"] < 1e-4
