@@ -458,6 +458,8 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
     """Re-setup for a new matrix with the same sparsity/geometry, reusing the
     existing transfers (reference replaceMatrixInHierarchy, MGsetup.jl:226-270)."""
     state._gs_cache = {}        # host stencil cache is stale for the new matrix
+    state._hi_op_cache = None   # ... as are the refined-solve operator caches
+    state._df32_op_cache = None
     cfg = state.config
     t_all = time.perf_counter()
     rp_arr = _per_level_relax_param(state.relax_param, cfg.levels)
@@ -486,6 +488,8 @@ def transpose_hierarchy(state: MGState, verbose: bool = False) -> MGState:
     MGsetup.jl:274-318): conjugate-transpose every level, swap P/R, re-derive
     smoothers, refactor the coarsest."""
     state._gs_cache = {}        # host stencil cache is stale for A^H
+    state._hi_op_cache = None   # ... as are the refined-solve operator caches
+    state._df32_op_cache = None
     if state.config.relax_type not in ("jacobi", "jac-gmres", "spai"):
         raise NotImplementedError(
             "transpose is supported for pointwise relaxations only "

@@ -96,3 +96,26 @@ def test_refined_solve_uses_df32_and_certifies():
                / np.linalg.norm(b))
     assert true_rr < 2e-9
     assert info["relres"] < 1e-9
+
+
+def test_refined_after_replace_matrix_targets_new_operator():
+    """replace_matrix/transpose must invalidate the cached refined-solve
+    operators, or refinement converges against the stale matrix."""
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    from mgtpu import replace_matrix_in_hierarchy
+    n = 48
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L1 = nodal_laplacian_matrix(M)
+    L1 = (L1 + 1e-3 * abs(L1).sum(axis=0).max()
+          * sp.identity(L1.shape[0])).tocsr()
+    L2 = (2.5 * L1).tocsr()          # same pattern, different values
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, dtype=np.float32)
+    state = mg_setup(L1, M, cfg, rp)
+    b = np.random.RandomState(2).rand(L1.shape[0])
+    x1, _ = solve_mg_refined(state, b, tol=1e-9, max_iter=40)  # warm caches
+    replace_matrix_in_hierarchy(state, L2)
+    x2, info = solve_mg_refined(state, b, tol=1e-9, max_iter=40)
+    tr = (np.linalg.norm(b - L2.astype(np.float64) @ np.asarray(x2, np.float64))
+          / np.linalg.norm(b))
+    assert tr < 2e-9
