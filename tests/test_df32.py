@@ -119,3 +119,25 @@ def test_refined_after_replace_matrix_targets_new_operator():
     tr = (np.linalg.norm(b - L2.astype(np.float64) @ np.asarray(x2, np.float64))
           / np.linalg.norm(b))
     assert tr < 2e-9
+
+
+def test_refined_complex_falls_back_to_high_precision_loop():
+    """Complex operators skip df32 (real-only) and still certify via the
+    emulated complex128 residual path."""
+    from mgtpu.solvers.mg_solver import solve_mg_refined, _df32_residual_op
+    n = 32
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L = nodal_laplacian_matrix(M)
+    # complex-shifted Laplacian (Helmholtz-type)
+    Lc = (L + (1e-2 + 5e-3j) * abs(L).sum(axis=0).max()
+          * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, dtype=np.complex64)
+    state = mg_setup(Lc, M, cfg, rp)
+    b = (np.random.RandomState(3).rand(Lc.shape[0])
+         + 1j * np.random.RandomState(4).rand(Lc.shape[0]))
+    x, info = solve_mg_refined(state, b, tol=1e-8, max_iter=40)
+    true_rr = (np.linalg.norm(b - state.A_input.astype(np.complex128)
+                              @ np.asarray(x, np.complex128))
+               / np.linalg.norm(b))
+    assert true_rr < 2e-8
