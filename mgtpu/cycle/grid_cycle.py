@@ -384,7 +384,11 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
                 K = p1s[0]
                 for pm in p1s[1:]:
                     K = sp.kron(pm, K, format="csr")
-                if (K != state.Ps[l]).nnz != 0:
+                # shape check first: scipy's != returns a plain bool for
+                # mismatched shapes, which has no .nnz — the ValueError must
+                # still fire so the flat-engine fallback engages
+                if (K.shape != state.Ps[l].shape
+                        or (K != state.Ps[l]).nnz != 0):
                     raise ValueError("hierarchy transfers are not the "
                                      "separable full-weighting factors")
             P1 = tuple(jnp.asarray(np.asarray(p.todense(), dtype=cfg.dtype))

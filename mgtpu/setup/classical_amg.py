@@ -122,25 +122,50 @@ def cf_coloring_second_s(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
                 continue
             (cconn[i] if coloring[j] == 1 else fconn[i]).add(int(j))
 
-    def clear_covered():
-        for i in range(n):
-            for j in list(fconn[i]):
-                if cconn[i] & cconn[j]:
-                    fconn[i].discard(j)
-                    fconn[j].discard(i)
+    # one full covered-pair sweep up front; afterwards coverage changes are
+    # LOCAL to the promoted node's neighborhood, so maintain incremental
+    # uncovered-pair counts in a lazy max-heap instead of rescanning all sets
+    # after every promotion
+    for i in range(n):
+        for j in list(fconn[i]):
+            if j > i and cconn[i] & cconn[j]:
+                fconn[i].discard(j)
+                fconn[j].discard(i)
+    counts = np.array([len(s) for s in fconn], dtype=np.int64)
 
-    clear_covered()
-    while True:
-        counts = [len(s) for s in fconn]
-        best = int(np.argmax(counts))
-        if counts[best] == 0:
-            break
+    def push(h, i):
+        if counts[i] > 0:
+            heapq.heappush(h, (-int(counts[i]), i))
+
+    heap = []
+    for i in range(n):
+        push(heap, i)
+    while heap:
+        negc, best = heapq.heappop(heap)
+        if coloring[best] == 1 or -negc != counts[best] or counts[best] == 0:
+            continue            # stale entry
         coloring[best] = 1
         for j in list(fconn[best]):
             fconn[j].discard(best)
-            cconn[j].add(best)
+            counts[j] -= 1
+            push(heap, j)
         fconn[best].clear()
-        clear_covered()
+        counts[best] = 0
+        # best is now a strong C neighbor of every F node in its row; pairs
+        # among those neighbors become covered through best
+        nbrs = [int(j) for j in indices[indptr[best]:indptr[best + 1]]
+                if j != best and coloring[j] == 0]
+        nbrset = set(nbrs)
+        for j in nbrs:
+            cconn[j].add(best)
+        for i2 in nbrs:
+            for j2 in list(fconn[i2] & nbrset):
+                fconn[i2].discard(j2)
+                fconn[j2].discard(i2)
+                counts[i2] -= 1
+                counts[j2] -= 1
+                push(heap, i2)
+                push(heap, j2)
     return coloring
 
 
@@ -176,30 +201,38 @@ def standard_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
         s_idx = Sv.indices[slo:shi]
         s_val = Sv.data[slo:shi]
         off = s_idx != i
+        alo, ahi = A.indptr[i], A.indptr[i + 1]
+        a_row_idx = A.indices[alo:ahi]
+        a_row_val = A.data[alo:ahi]
         # denominator: full row sum minus strong off-diagonal connections
         # (a_ii + weak sums, reference getDenominator interpolation.jl:101-113)
-        denom = A.data[A.indptr[i]:A.indptr[i + 1]].sum() - s_val[off].sum()
+        denom = a_row_val.sum() - s_val[off].sum()
         if denom == 0:
-            denom = A[i, i]
+            denom = a_row_val[a_row_idx == i].sum()
         strongC_idx = s_idx[off & (coloring[s_idx] == 1)]
         strongF_idx = s_idx[off & (coloring[s_idx] == 0)]
         sv_of = dict(zip(s_idx.tolist(), s_val.tolist()))
+        # accumulate per strong-C column j: s_ij plus the through-F
+        # contributions; sweep each F-neighbor row ONCE (its inner sum is
+        # independent of j), scattering a_mj into the j accumulators — no
+        # scalar sparse indexing
+        contrib = {int(j): sv_of[int(j)] for j in strongC_idx}
+        for m in strongF_idx:
+            mlo, mhi = Sv.indptr[m], Sv.indptr[m + 1]
+            inner = Sv.data[mlo:mhi][
+                np.isin(Sv.indices[mlo:mhi], strongC_idx)].sum()
+            if inner == 0:
+                continue
+            scale = sv_of[int(m)] / inner
+            m_alo, m_ahi = A.indptr[m], A.indptr[m + 1]
+            for j, a_mj in zip(A.indices[m_alo:m_ahi].tolist(),
+                               A.data[m_alo:m_ahi].tolist()):
+                if a_mj != 0 and j in contrib:
+                    contrib[j] += scale * a_mj
         for j in strongC_idx:
-            num = sv_of[int(j)]
-            for m in strongF_idx:
-                a_mj = A[int(m), int(j)]
-                if a_mj == 0:
-                    continue
-                mlo, mhi = Sv.indptr[m], Sv.indptr[m + 1]
-                m_idx = Sv.indices[mlo:mhi]
-                m_val = Sv.data[mlo:mhi]
-                inner = m_val[np.isin(m_idx, strongC_idx)].sum()
-                if inner == 0:
-                    continue
-                num += sv_of[int(m)] * a_mj / inner
             rows.append(i)
             cols.append(coarse_index[int(j)])
-            vals.append(-num / denom)
+            vals.append(-contrib[int(j)] / denom)
     nc = int(np.sum(coloring))
     return sp.csr_matrix((vals, (rows, cols)), shape=(n, nc))
 

@@ -437,8 +437,13 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
                        if v.coeff.dtype == np.dtype(cfg.dtype)} \
         if _gs_cache else {}
     # full-weighting transfers built above ARE the separable fw_interp
-    # factors; the grid engine can skip re-verifying them by kron assembly
-    state._fw_separable = cfg.transfer_type == "full-weighting"
+    # factors; the grid engine can skip re-verifying them by kron assembly.
+    # Matrix path only: the geometric (ctor) path builds fw_interp with
+    # geometric=True, which returns identity factors for even node extents —
+    # those differ from the geometric=False factors build_grid_hierarchy
+    # re-derives, so the kron verification must run there.
+    state._fw_separable = (cfg.transfer_type == "full-weighting"
+                           and not geometric)
     t0 = time.perf_counter()
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     if verbose:

@@ -266,8 +266,13 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
     squeeze = np.ndim(b) == 1
     nrhs = 1 if squeeze else np.shape(b)[-1]
 
+    # df32 residual: only for FLOAT32 hierarchies (its ~1e-13 attainable
+    # accuracy would silently cap a true-f64 hierarchy below tol<1e-13), and
+    # independent of `verbose` so the numeric path never changes with logging
+    # (verbose reporting happens from resvec after the device loop).
     df_op = (_df32_residual_op(state)
-             if device_loop and not verbose
+             if device_loop
+             and np.dtype(state.config.dtype) == np.float32
              and not np.issubdtype(np.dtype(outer_dtype), np.complexfloating)
              else None)
     if df_op is not None:
@@ -289,11 +294,13 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
             xl2, _ = _as_2d(jnp.asarray(x_lo))
         xh, xl, iters, res, res0, resvec = _refined_device_loop_df32(
             cfg, hier_lo, df_op, to_internal(bh2), to_internal(bl2),
-            to_internal(xh2), to_internal(xl2), float(tol), int(max_iter), cd,
-            bool(fmg and x is None))
+            to_internal(xh2), to_internal(xl2), jnp.float32(tol),
+            int(max_iter), cd, bool(fmg and x is None))
         iters = int(iters)
         res, res0 = float(res), float(res0)
         resvec = np.asarray(resvec)[:iters + 1]
+        if verbose:
+            _print_resvec(resvec)
         x_np = (np.asarray(to_flat(xh), np.float64)
                 + np.asarray(to_flat(xl), np.float64))
         state.n_iter += iters * nrhs
@@ -307,12 +314,15 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
     matvec_hi = _high_precision_fine_op(state, outer_dtype)
     bv = to_internal(b2)
     xv = to_internal(x2)
-    if device_loop and not verbose:
+    if device_loop:
         xv, iters, res, res0, resvec = _refined_device_loop(
-            cfg, hier_lo, matvec_hi, bv, xv, float(tol), int(max_iter), cd)
+            cfg, hier_lo, matvec_hi, bv, xv,
+            jnp.asarray(tol, jnp.result_type(float)), int(max_iter), cd)
         iters = int(iters)
         res, res0 = float(res), float(res0)
         resvec = np.asarray(resvec)[:iters + 1]
+        if verbose:
+            _print_resvec(resvec)
     else:
         res0 = _vnorm(bv)
         res = res0
@@ -340,10 +350,29 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
                    "resvec": resvec}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "matvec_hi", "tol",
+def _print_resvec(resvec):
+    """Per-iteration convergence report from a completed device loop.
+
+    Keeps verbose mode on the SAME numeric path as silent mode — the device
+    loop records resvec and we print after, instead of switching to a
+    host-synced loop just to log.
+    """
+    res0 = max(float(resvec[0]), 1e-300)
+    for k in range(1, len(resvec)):
+        print(f"Refined cycle {k} relres: {resvec[k] / res0:.3e}. "
+              f"Factor: {resvec[k] / max(float(resvec[k - 1]), 1e-300):.3f}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "matvec_hi",
                                              "max_iter", "cd"))
 def _refined_device_loop(cfg, hier_lo, matvec_hi, bv, xv, tol, max_iter, cd):
-    """Whole refinement loop on device: one dispatch, tol checked in-loop."""
+    """Whole refinement loop on device: one dispatch, tol checked in-loop.
+
+    `tol` is traced (new tolerances don't recompile); `max_iter` shapes
+    resvec so it stays static.  `matvec_hi` is a closure and therefore a
+    static argument — reuse of the `state._hi_op_cache` entry is load-bearing
+    for avoiding recompiles across calls (a regenerated closure, e.g. after
+    `replace_matrix_in_hierarchy`, recompiles once by design)."""
     from ..cycle.grid_cycle import GridHierarchy, grid_cycle
     from ..cycle.systems_grid import SystemsGridHierarchy, systems_grid_cycle
     from ..cycle.cycle import recursive_cycle
@@ -386,7 +415,7 @@ def _refined_device_loop(cfg, hier_lo, matvec_hi, bv, xv, tol, max_iter, cd):
     return x, iters, res, res0, resvec
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tol", "max_iter", "cd",
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iter", "cd",
                                               "use_fmg"))
 def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
                               tol, max_iter, cd, use_fmg=False):

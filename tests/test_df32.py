@@ -141,3 +141,27 @@ def test_refined_complex_falls_back_to_high_precision_loop():
                               @ np.asarray(x, np.complex128))
                / np.linalg.norm(b))
     assert true_rr < 2e-8
+
+
+def test_f64_hierarchy_reaches_below_df32_cap():
+    """ADVICE r1 (medium): a float64 hierarchy must NOT route through the
+    df32 residual (attainable accuracy ~1e-13); tol=1e-14 has to be reachable
+    with the true-f64 residual path, and verbose must not change the path."""
+    from mgtpu.solvers.mg_solver import solve_mg_refined, _df32_residual_op
+    n = 48
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-2 * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=2, nu_post=2, dtype=np.float64,
+                           max_outer_iter=60)
+    state = mg_setup(L, M, cfg, rp)
+    b = L @ np.random.RandomState(5).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg_refined(state, b, tol=1e-14)
+    tr = np.linalg.norm(b - L @ np.asarray(x, np.float64)) / np.linalg.norm(b)
+    assert tr < 1e-13, tr
+    # verbose run follows the same numeric path (device loop + post-print)
+    x2, info2 = solve_mg_refined(state, b, tol=1e-10, verbose=True)
+    tr2 = np.linalg.norm(b - L @ np.asarray(x2, np.float64)) / np.linalg.norm(b)
+    assert tr2 < 1e-9, tr2
