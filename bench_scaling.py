@@ -100,6 +100,33 @@ def main(n=1024, levels=6):
                 "gnnz_per_s": round(nnz / t / 1e9, 2),
             }))
 
+    # end-to-end sharded refined solve (df32-certified to true 1e-8): the
+    # solve-to-completion contract, one device dispatch per full solve
+    from mgtpu.parallel.sharded_solve import make_sharded_refined_solver
+    b64 = rng.rand(L.shape[0])
+    for D in counts:
+        try:
+            mesh = Mesh(np.array(devs[:D]), ("x",))
+            solver = make_sharded_refined_solver(state, mesh)
+            x, info = solver.solve_refined(b64, tol=1e-8)   # warm compile
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x, info = solver.solve_refined(b64, tol=1e-8)
+                reps.append(time.perf_counter() - t0)
+            tr = float(np.linalg.norm(b64 - L.astype(np.float64) @ x)
+                       / np.linalg.norm(b64))
+        except Exception as e:
+            print(json.dumps({"tier": "refined_solve", "devices": D,
+                              "error": str(e)[:120]}))
+            continue
+        print(json.dumps({
+            "tier": "refined_solve", "devices": D,
+            "solve_to_1e-8_ms": round(min(reps) * 1e3, 3),
+            "iters": int(info["iters"]),
+            "true_relres_f64": tr,
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,283 @@
+"""Multi-chip END-TO-END solve drivers on the GSPMD-sharded grid engine.
+
+Round-1 sharded tiers exposed single cycles/steps only; this module closes
+the gap to the reference's distributed *solver* contract (solveDDParallel
+iterates to completion across workers, DDParallel.jl:69-120): the whole
+mixed-precision refinement loop — df32 fine residual, `lax.while_loop`
+tolerance check, convergence history — compiles into ONE sharded program
+over a `jax.sharding.Mesh`, and the MG-preconditioned Krylov drivers
+(FGMRES/CG/BiCGSTAB) run directly on sharded grid operands.
+
+Design: same zero-padded embedding as parallel/grid_sharded.py (sharded axes
+round up to mesh-axis multiples; pad coefficients/diagonals are zero so the
+pad region stays identically zero).  Residual norms are plain `jnp.sum`
+reductions over sharded fields — XLA lowers them to psum over ICI.  The df32
+residual operator here is the DENSE-stencil double-single form (the
+constant-interior region concatenation of ops/df32.DFConstStencil partitions
+poorly; the dense form shards like any other stencil).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.grid_stencil import (GridStencil, _shift, flat_to_grid,
+                                grid_to_flat, grid_stencil_from_csr)
+from ..ops.df32 import two_sum, two_prod, df_accumulate
+from ..cycle.grid_cycle import GridHierarchy, grid_cycle
+from .grid_sharded import make_grid_sharded_cycle, _pad_to
+
+__all__ = ["DFGridStencil", "df_residual_dense", "ShardedGridSolver",
+           "make_sharded_refined_solver"]
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["coeff_hi", "coeff_lo"],
+                   meta_fields=["offsets", "grid"])
+@dataclass(frozen=True)
+class DFGridStencil:
+    """Dense variable-coefficient stencil with double-single coefficients.
+
+    Unlike DFConstStencil (ops/df32.py) there is no interior compression —
+    coeff_[hi|lo] are (ndiags, *grid) and shard along the grid axes exactly
+    like the f32 cycle stencils, so one sharding spec covers both.
+    """
+    coeff_hi: jax.Array
+    coeff_lo: jax.Array
+    offsets: tuple
+    grid: tuple
+
+
+def df_grid_stencil(A, node_counts, pad_grid=None) -> DFGridStencil:
+    """Split an f64 operator into dense df32 stencil form (host-side),
+    optionally zero-padded to `pad_grid` for the sharded embedding."""
+    gs = grid_stencil_from_csr(A, node_counts, dtype=np.float64, device=False)
+    coeff = np.asarray(gs.coeff, np.float64)
+    grid = gs.grid
+    if pad_grid is not None:
+        pad = [(0, 0)] + [(0, p - g) for p, g in zip(pad_grid, grid)]
+        coeff = np.pad(coeff, pad)
+        grid = tuple(pad_grid)
+    hi = coeff.astype(np.float32)
+    lo = (coeff - hi.astype(np.float64)).astype(np.float32)
+    return DFGridStencil(jnp.asarray(hi), jnp.asarray(lo), gs.offsets, grid)
+
+
+def df_residual_dense(dfA: DFGridStencil, b_hi, b_lo, x_hi, x_lo):
+    """r = b - A (x_hi + x_lo) in double-single on (.., *grid) fields.
+
+    Same compensated accumulation as ops/df32.df_residual (error-free head
+    products, cross terms in the low word) but over the dense stencil: one
+    shifted multiply-add chain, no region assembly — shards cleanly."""
+    g = len(dfA.grid)
+    s, e = b_hi, b_lo
+    for k, off in enumerate(dfA.offsets):
+        xs_hi, xs_lo = x_hi, x_lo
+        for a, da in enumerate(off):
+            if da:
+                ax_h = xs_hi.ndim - g + a
+                xs_hi = _shift(xs_hi, ax_h, da, dfA.grid[a])
+                xs_lo = _shift(xs_lo, ax_h, da, dfA.grid[a])
+        ch, cl = dfA.coeff_hi[k], dfA.coeff_lo[k]
+        p, pe = two_prod(ch, xs_hi)
+        cross = ch * xs_lo + cl * xs_hi + pe
+        s, e2 = two_sum(s, -p)
+        e = e + (e2 - cross)
+    return two_sum(s, e)
+
+
+def _split64(v):
+    v = np.asarray(v, np.float64)
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_iter", "cd"))
+def _sharded_refined_loop(cfg, gh, dfA, b_hi, b_lo, xh, xl, tol, max_iter,
+                          cd):
+    """Whole sharded refinement loop in one program (cf. the single-chip
+    _refined_device_loop_df32, solvers/mg_solver.py).  Norm reductions over
+    sharded fields lower to psum; tol is traced so new tolerances reuse the
+    compiled loop."""
+    res0 = jnp.sqrt(jnp.sum(b_hi * b_hi))
+    resvec = jnp.zeros((max_iter + 1,), jnp.float32)
+
+    def cond(carry):
+        xh, xl, rh, it, res, _ = carry
+        return jnp.logical_and(it < max_iter,
+                               res >= tol * jnp.maximum(res0, 1e-38))
+
+    def body(carry):
+        xh, xl, rh, it, res, rv = carry
+        z = grid_cycle(cfg, gh, rh.astype(cd), jnp.zeros_like(rh, dtype=cd))
+        xh, xl = df_accumulate(xh, xl, z.astype(jnp.float32))
+        rh, rl = df_residual_dense(dfA, b_hi, b_lo, xh, xl)
+        res = jnp.sqrt(jnp.sum(rh * rh))
+        rv = rv.at[it + 1].set(res)
+        return (xh, xl, rh, it + 1, res, rv)
+
+    rh0, _ = df_residual_dense(dfA, b_hi, b_lo, xh, xl)
+    res_init = jnp.sqrt(jnp.sum(rh0 * rh0))
+    resvec = resvec.at[0].set(res_init)
+    xh, xl, _, iters, res, resvec = jax.lax.while_loop(
+        cond, body, (xh, xl, rh0, jnp.int32(0), res_init, resvec))
+    return xh, xl, iters, res, res0, resvec
+
+
+class ShardedGridSolver:
+    """Sharded solve-to-completion drivers over one GSPMD grid hierarchy.
+
+    Built once per (state, mesh); exposes
+      * solve_refined(b, tol, max_iter)  — df32-certified refinement to
+        true f64 tolerance, one device dispatch for the whole solve
+      * solve_fgmres / solve_cg / solve_bicgstab — MG-preconditioned Krylov
+        on sharded (m, *grid) operands (mixed precision when b is f64)
+    b/x cross the boundary as flat (n,) / (n, m) host arrays exactly like
+    the single-chip drivers, so `bench_scaling.py` and tests can swap tiers.
+    """
+
+    def __init__(self, state, mesh: Mesh, axes=("x",)):
+        cfg = state.config
+        if np.dtype(cfg.dtype) != np.float32:
+            raise ValueError("sharded refined solver assumes a float32 "
+                             "hierarchy (df32 residual certifies ~1e-13)")
+        self.state = state
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axes = tuple(axes)
+        gh_sh, cycle, to_grid, from_grid = make_grid_sharded_cycle(
+            state, mesh, axes=self.axes)
+        self.gh = gh_sh
+        self.cycle = cycle
+        self._to_grid_f32 = to_grid
+        self._from_grid = from_grid
+        self.true_grid = state.hier.fine_grid
+        self.pad_grid = gh_sh.levels[0].A.grid
+        g = len(self.pad_grid)
+        self._field_spec = NamedSharding(
+            mesh, P(*((None,) + self.axes + (None,) * (g - len(self.axes)))))
+        coeff_spec = NamedSharding(
+            mesh, P(*((None,) + self.axes + (None,) * (g - len(self.axes)))))
+
+        A_hi = state.A_input if getattr(state, "A_input", None) is not None \
+            else state.As[0]
+        nodes = list(reversed(self.true_grid))
+        dfA = df_grid_stencil(A_hi, nodes, pad_grid=self.pad_grid)
+        self.dfA = DFGridStencil(jax.device_put(dfA.coeff_hi, coeff_spec),
+                                 jax.device_put(dfA.coeff_lo, coeff_spec),
+                                 dfA.offsets, dfA.grid)
+        self._f64_op = None
+
+    # -- field layout ------------------------------------------------------
+    def _pad_field(self, g2):
+        gp = _pad_to(g2, self.pad_grid, range(1, g2.ndim))
+        return jax.device_put(gp, self._field_spec)
+
+    def to_grid(self, v, dtype=None):
+        v = jnp.asarray(v, dtype=dtype)
+        squeeze = v.ndim == 1
+        v2 = v[:, None] if squeeze else v
+        return self._pad_field(flat_to_grid(v2, self.true_grid)), squeeze
+
+    def from_grid(self, xg, squeeze):
+        x2 = self._from_grid(xg)
+        return x2[:, 0] if squeeze else x2
+
+    # -- refined solve -----------------------------------------------------
+    def solve_refined(self, b, x=None, tol: float = 1e-8,
+                      max_iter: int | None = None, cycle_dtype=None):
+        """Sharded mixed-precision refinement to true (f64-certified) tol."""
+        cfg = self.cfg
+        if max_iter is None:
+            max_iter = cfg.max_outer_iter
+        cd = np.dtype(cycle_dtype) if cycle_dtype is not None \
+            else np.dtype(cfg.dtype)
+        b_hi, b_lo = _split64(b)
+        bh, squeeze = self.to_grid(b_hi)
+        bl, _ = self.to_grid(b_lo)
+        if x is None:
+            xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
+        else:
+            x_hi, x_lo = _split64(x)
+            xh, _ = self.to_grid(x_hi)
+            xl, _ = self.to_grid(x_lo)
+        xh, xl, iters, res, res0, resvec = _sharded_refined_loop(
+            cfg, self.gh, self.dfA, bh, bl, xh, xl, jnp.float32(tol),
+            int(max_iter), cd)
+        iters = int(iters)
+        res, res0 = float(res), float(res0)
+        x_np = (np.asarray(self.from_grid(xh, squeeze), np.float64)
+                + np.asarray(self.from_grid(xl, squeeze), np.float64))
+        return x_np, {"iters": iters, "relres": res / max(res0, 1e-300),
+                      "resvec": np.asarray(resvec)[:iters + 1]}
+
+    # -- Krylov drivers ----------------------------------------------------
+    def _krylov_ops(self, outer_dtype):
+        cfg = self.cfg
+        mixed = np.dtype(outer_dtype) != np.dtype(cfg.dtype)
+        if mixed:
+            if self._f64_op is None:
+                A_hi = self.state.A_input \
+                    if getattr(self.state, "A_input", None) is not None \
+                    else self.state.As[0]
+                gs = grid_stencil_from_csr(A_hi, list(reversed(self.true_grid)),
+                                           dtype=np.float64, device=False)
+                coeff = np.pad(np.asarray(gs.coeff),
+                               [(0, 0)] + [(0, p - g) for p, g in
+                                           zip(self.pad_grid, gs.grid)])
+                A64 = GridStencil(
+                    jax.device_put(jnp.asarray(coeff, outer_dtype),
+                                   self._field_spec),
+                    gs.offsets, self.pad_grid)
+                self._f64_op = A64
+            matvec = self._f64_op.matvec
+        else:
+            matvec = self.gh.levels[0].A.matvec
+
+        def prec(r):
+            rl = r.astype(cfg.dtype) if mixed else r
+            z = self.cycle(self.gh, rl, jnp.zeros_like(rl))
+            return z.astype(r.dtype) if mixed else z
+
+        return matvec, prec
+
+    def _solve_krylov(self, fn, b, x0, tol, max_iter, **kw):
+        cfg = self.cfg
+        bdt = np.asarray(b).dtype
+        outer = bdt if np.issubdtype(bdt, np.floating) else cfg.dtype
+        bv, squeeze = self.to_grid(b, dtype=outer)
+        xv = (jnp.zeros_like(bv) if x0 is None
+              else self.to_grid(x0, dtype=outer)[0])
+        matvec, prec = self._krylov_ops(outer)
+        tol = cfg.relative_tol if tol is None else tol
+        max_iter = cfg.max_outer_iter if max_iter is None else max_iter
+        x, info = fn(matvec, bv, prec=prec, x0=xv, tol=tol,
+                     max_iter=max_iter, batch_leading=True, **kw)
+        return self.from_grid(x, squeeze), info
+
+    def solve_fgmres(self, b, x0=None, tol=None, max_iter=None,
+                     restart: int = 5):
+        from ..krylov.fgmres import fgmres
+        return self._solve_krylov(fgmres, b, x0, tol, max_iter,
+                                  restart=restart)
+
+    def solve_cg(self, b, x0=None, tol=None, max_iter=None):
+        from ..krylov.cg import pcg
+        return self._solve_krylov(pcg, b, x0, tol, max_iter)
+
+    def solve_bicgstab(self, b, x0=None, tol=None, max_iter=None):
+        from ..krylov.bicgstab import bicgstab
+        return self._solve_krylov(bicgstab, b, x0, tol, max_iter)
+
+
+def make_sharded_refined_solver(state, mesh: Mesh, axes=("x",)
+                                ) -> ShardedGridSolver:
+    """Sharded end-to-end solver over `mesh` for a scalar grid MGState."""
+    return ShardedGridSolver(state, mesh, axes=axes)
