@@ -101,7 +101,28 @@ def main():
     cfg, rp = get_mg_param(levels=levels, max_outer_iter=20,
                            relative_tol=1e-6, relax_type="jacobi",
                            relax_param=0.8, nu_pre=1, nu_post=1, dtype=dtype)
+    # setup cost: report the min over 3 calls (steady state — the jInv
+    # workflow re-setups per inversion iteration, MGsetup.jl:226-270; one-time
+    # XLA compiles land in the persistent cache, and this shared rig's
+    # first-touch timings vary by 3-10x run to run).  Cold first call kept as
+    # a detail.
+    t0 = time.perf_counter()
     state = mg_setup(L, M, cfg, rp)
+    setup2_cold = time.perf_counter() - t0
+    setup2 = setup2_cold
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = mg_setup(L, M, cfg, rp)
+        setup2 = min(setup2, time.perf_counter() - t0)
+    # replace-matrix (same pattern, new values): the steady-state jInv cost
+    from mgtpu import replace_matrix_in_hierarchy
+    L_alt = (1.7 * L).tocsr()
+    replace_s = None
+    for A_new in (L_alt, L, L_alt, L):
+        t0 = time.perf_counter()
+        replace_matrix_in_hierarchy(state, A_new)
+        dt = time.perf_counter() - t0
+        replace_s = dt if replace_s is None else min(replace_s, dt)
     nnz_total = sum(a.nnz for a in state.As)
 
     rng = np.random.RandomState(0)
@@ -221,7 +242,14 @@ def main():
           * sp.identity(L3.shape[0])).tocsr()
     cfg3, rp3 = get_mg_param(levels=5, relax_type="jacobi", relax_param=0.8,
                              nu_pre=1, nu_post=1, dtype=dtype)
+    t0 = time.perf_counter()
     st3 = mg_setup(L3, M3, cfg3, rp3)
+    setup3_cold = time.perf_counter() - t0
+    setup3 = setup3_cold
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st3 = mg_setup(L3, M3, cfg3, rp3)
+        setup3 = min(setup3, time.perf_counter() - t0)
     bg3 = flat_to_grid(jnp.asarray(
         rng.rand(L3.shape[0], 1).astype(dtype)), st3.hier.fine_grid)
     cycle3_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg3, h, bb, xx),
@@ -286,8 +314,15 @@ def main():
             "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
             "poisson3d_iters_to_1e-8": int(rinfo3["iters"]),
             "vcycle_8rhs_ms_per_rhs": round(m8_ms / 8, 4),
-            "setup_2d_1024_s": round(state.time_setup, 2),
-            "setup_3d_128_s": round(st3.time_setup, 2),
+            "setup_2d_1024_s": round(setup2, 2),
+            "setup_3d_128_s": round(setup3, 2),
+            "setup_2d_cold_s": round(setup2_cold, 2),
+            "setup_3d_cold_s": round(setup3_cold, 2),
+            "replace_matrix_s": round(replace_s, 3),
+            # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
+            # (the reference's platform class is an OpenMP CPU solver; an
+            # 8-thread comparator would be roughly 8x smaller)
+            "vs_baseline_note": "single-thread scipy CPU comparator",
         },
     }
     print(json.dumps(result))

@@ -8,10 +8,38 @@ for host-side (CPU) verification and for norm accumulation where needed.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
 _X64_ENABLED = False
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (opt-out: MGTPU_COMPILE_CACHE=off).
+
+    Cold-setup cost is dominated by one-time XLA compiles (measured: 22 s to
+    compile the blocked device LU for a 4913-dof coarsest level on a v5e,
+    1.6 ms per factorization after).  The persistent cache makes those
+    one-per-machine instead of one-per-process — the steady-state jInv
+    workflow (fresh process per inversion run) depends on it.
+    """
+    mode = os.environ.get("MGTPU_COMPILE_CACHE", "")
+    if mode.lower() in ("off", "0", "none"):
+        return
+    path = mode if mode and os.path.isabs(mode) else os.path.join(
+        os.path.expanduser("~"), ".cache", "mgtpu", "xla_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took noticeable compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass                       # cache is an optimization, never fatal
+
+
+_enable_compile_cache()
 
 
 def enable_x64() -> None:

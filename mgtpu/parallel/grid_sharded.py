@@ -49,7 +49,9 @@ def _pad_to(a, targets, axes):
                    data_fields=["inner"], meta_fields=["pad_grid"])
 @dataclass(frozen=True)
 class PaddedDenseInverse:
-    """Replicated dense coarse solve on the unpadded embedding."""
+    """Replicated dense coarse solve on the unpadded embedding.
+
+    `inner` is any replicated grid-form coarse with .solve/.grid."""
     inner: DenseInverse
     pad_grid: tuple
 
@@ -121,10 +123,9 @@ def make_grid_sharded_cycle(state, mesh: Mesh, axes=("x",)):
         return GridLevel(A, d, P1, lvl.lam)
 
     levels = tuple(shard_level(l) for l in gh_pad.levels)
-    coarse = PaddedDenseInverse(
-        DenseInverse(jax.device_put(gh_pad.coarse.inner.inv, repl),
-                     gh_pad.coarse.inner.grid),
-        gh_pad.coarse.pad_grid)
+    inner_repl = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, repl), gh_pad.coarse.inner)
+    coarse = PaddedDenseInverse(inner_repl, gh_pad.coarse.pad_grid)
     gh_sh = GridHierarchy(levels, coarse)
     true_grid = gh.fine_grid
     pad_grid = levels[0].A.grid

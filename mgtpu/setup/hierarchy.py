@@ -204,6 +204,37 @@ def hierarchy_exists(state: MGState | None) -> bool:
     return state is not None and state.hier is not None and len(state.As) > 0
 
 
+class _LazySparseList:
+    """Per-level transfer matrices, materialised on first access.
+
+    The flat kron P/R assembly is only needed by the flat-engine fallback,
+    the scipy-RAP lifecycle fallback, and tests — the grid engine applies
+    transfers from the 1D factors directly.  Deferring the kron removes the
+    dominant host assembly cost of 3D setup.  Entries are sparse matrices or
+    0-arg thunks producing one."""
+
+    def __init__(self):
+        self._items = []
+
+    def append(self, item):
+        self._items.append(item)
+
+    def __getitem__(self, i):
+        it = self._items[i]
+        if callable(it):
+            it = self._items[i] = it()
+        return it
+
+    def __setitem__(self, i, value):
+        self._items[i] = value
+
+    def __len__(self):
+        return len(self._items)
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self._items)))
+
+
 # ---------------------------------------------------------------------------
 # relaxation setup dispatch (reference getRelaxPrec, MGsetup.jl:142-160)
 # ---------------------------------------------------------------------------
@@ -358,7 +389,8 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
     A = A.astype(cfg.dtype)
 
     rp_arr = _per_level_relax_param(relax_param, cfg.levels)
-    As, Ps, Rs, meshes, relax_states = [A], [], [], [mesh], []
+    As, meshes, relax_states = [A], [mesh], []
+    Ps, Rs = _LazySparseList(), _LazySparseList()
     n = np.asarray(mesh.n)
     cop = A.nnz
     dim = mesh.dim
@@ -369,28 +401,37 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
         t0 = time.perf_counter()
         A_l = As[l]
         if cfg.transfer_type == "full-weighting":
-            P, nc_nodes = tr.fw_interp(list(n + 1), geometric)
-            nc = nc_nodes - 1
+            # build only the cheap 1D factors now; the flat kron P/R (needed
+            # by the flat fallback and scipy-RAP lifecycle fallback only) is
+            # deferred via _LazySparseList — the grid engine never reads it
+            p1s, nc1s = zip(*(tr.fw_interp_1d(int(nd), geometric)
+                              for nd in (n + 1)))
+            nc = np.asarray(nc1s, dtype=np.int64) - 1
+            if all(m.shape[0] == m.shape[1] for m in p1s):
+                if verbose:
+                    print(f"mg_setup: stopped coarsening at level {l}")
+                levels = l + 1
+                break
+            P_entry = (lambda ms=tuple(p1s): tr._kron_nd(list(ms)))
+            # R = 0.5^dim P^T: the Galerkin scaling that matches geometric
+            # stencil scaling (reference MGsetup.jl:61,72)
+            R_entry = (lambda ms=tuple(p1s), d=dim:
+                       ((0.5 ** d) * tr._kron_nd(list(ms)).T).tocsr())
         elif cfg.transfer_type in ("systems-faces", "systems-faces-mixed"):
             P, R, nc = tr.linear_operators_systems_faces(list(n), cfg.mixed)
+            if P.shape[0] == P.shape[1]:
+                if verbose:
+                    print(f"mg_setup: stopped coarsening at level {l}")
+                levels = l + 1
+                break
+            P_entry = P.tocsr()
+            R_entry = ((0.5 ** dim) * R).tocsr()
         else:
             raise ValueError(f"unknown transfer type {cfg.transfer_type}")
 
-        if P.shape[0] == P.shape[1]:
-            if verbose:
-                print(f"mg_setup: stopped coarsening at level {l}")
-            levels = l + 1
-            break
-
-        if cfg.transfer_type == "full-weighting":
-            R = P.T.tocsr()
-        # scale R so the Galerkin coarse operator matches the geometric
-        # stencil scaling (reference MGsetup.jl:61,72)
-        R = ((0.5 ** dim) * R).tocsr()
-
         relax_states.append(_RelaxThunk(A_l, cfg, rp_arr[l], meshes[l]))
-        Ps.append(P.tocsr())
-        Rs.append(R)
+        Ps.append(P_entry)
+        Rs.append(R_entry)
         mesh_c = get_regular_mesh(meshes[l].domain, nc)
         meshes.append(mesh_c)
         if ctor is None:
@@ -414,7 +455,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
                 except ValueError:
                     A_c = None
             if A_c is None:
-                A_c = (R @ A_l @ P).tocsr()
+                A_c = (Rs[l] @ A_l @ Ps[l]).tocsr()
         else:
             ctor = ctor.restricted(meshes[l], mesh_c, l)
             A_c = sp.csr_matrix(ctor.operator(mesh_c))
@@ -472,10 +513,36 @@ def replace_matrix_in_hierarchy(state: MGState, A: sp.spmatrix,
     state.A_input = sp.csr_matrix(A)
     relax_states = []
     cop = As[0].nnz
+    # structured stencil RAP when the stored transfers are the separable
+    # full-weighting factors (the steady-state jInv path re-setups per
+    # inversion iteration, MGsetup.jl:226-270 — the two scipy SpGEMMs per
+    # level dominate otherwise); the rebuilt grid stencils seed _gs_cache so
+    # build_device_hierarchy skips re-extraction too
+    use_rap = (cfg.transfer_type == "full-weighting"
+               and getattr(state, "_fw_separable", False) and state.meshes)
     for l in range(state.num_levels - 1):
         mesh_l = state.meshes[l] if state.meshes else None
         relax_states.append(_RelaxThunk(As[l], cfg, rp_arr[l], mesh_l))
-        A_c = (state.Rs[l] @ As[l] @ state.Ps[l]).tocsr().astype(cfg.dtype)
+        A_c = None
+        if use_rap:
+            from ..ops.grid_stencil import (grid_stencil_from_csr,
+                                            structured_fw_rap)
+            try:
+                gs_f = state._gs_cache.get(l)
+                if gs_f is None:
+                    n_l = np.asarray(state.meshes[l].n)
+                    gs_f = grid_stencil_from_csr(As[l], list(n_l + 1),
+                                                 device=False)
+                    state._gs_cache[l] = gs_f
+                gs_c = structured_fw_rap(gs_f)
+                state._gs_cache[l + 1] = gs_c
+                A_c = gs_c.to_scipy().tocsr().astype(cfg.dtype)
+                A_c.eliminate_zeros()
+            except ValueError:
+                use_rap = False
+                A_c = None
+        if A_c is None:
+            A_c = (state.Rs[l] @ As[l] @ state.Ps[l]).tocsr().astype(cfg.dtype)
         As.append(A_c)
         cop += A_c.nnz
     if verbose:

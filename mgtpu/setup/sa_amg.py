@@ -378,16 +378,18 @@ def _structured_sa_hierarchy(state: MGState, nn_levels, host_diags,
                           ).reshape(grid_c)
         coarse = GridIterativeCoarse(levels[-1].A, d_c,
                                      cfg.gmres_coarse_inner)
-    else:
+    elif A_c.shape[0] <= 4096:
         Ad = np.asarray(A_c.astype(
             np.complex128 if np.iscomplexobj(A_c.data) else np.float64
         ).todense())
-        if A_c.shape[0] <= 4096:
-            inv = np.linalg.pinv(Ad, rcond=1e-12)
-        else:
-            sh = 1e-8 * np.abs(Ad).sum(axis=0).max()
-            inv = np.linalg.inv(Ad + sh * np.eye(Ad.shape[0], dtype=Ad.dtype))
+        inv = np.linalg.pinv(Ad, rcond=1e-12)
         coarse = DenseInverse(jnp.asarray(inv.astype(cfg.dtype)), grid_c)
+    else:
+        # device-built shifted inverse (reference coarsest shift,
+        # SA-AMG.jl:63): LU + n-RHS solve on the MXU at setup, one matmul
+        # in-cycle — no host O(nc^3) inversion
+        from ..cycle.grid_cycle import grid_dense_inverse_from_scipy
+        coarse = grid_dense_inverse_from_scipy(A_c, grid_c, cfg.dtype)
     if verbose:
         print("sa_amg_setup: structured aggregation on the grid engine")
     return GridHierarchy(tuple(levels), coarse)

@@ -312,3 +312,60 @@ def test_classical_amg_variants():
         x, info = solve_cg_mg(st, b)
         r = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
         assert r < 0.005, (kw, r)
+
+
+def test_large_coarsest_device_inverse():
+    """Coarsest levels above the 4096-dof checked-inverse cap factor ON
+    DEVICE (LU + n-RHS solve), with no O(nc^3) host inversion — the
+    reference's UMFPACK-factors-any-size contract (MGsetup.jl:350).
+    Convergence must match the deep-hierarchy cycle counts."""
+    import scipy.sparse as sp
+    from mgtpu import get_regular_mesh, mg_setup
+    from mgtpu.models.operators import nodal_laplacian_matrix
+    from mgtpu.cycle.grid_cycle import DenseInverse
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    n = 144                             # 2 levels -> coarsest 73^2 = 5329
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(axis=0).max() * sp.identity(L.shape[0])
+         ).tocsr()
+    b = L @ np.random.RandomState(0).rand(L.shape[0])
+    b /= np.linalg.norm(b)
+    iters = {}
+    for levels in (2, 4):
+        cfg, rp = get_mg_param(levels=levels, relax_type="jacobi",
+                               relax_param=0.8, nu_pre=1, nu_post=1,
+                               dtype=np.float32, max_outer_iter=40)
+        st = mg_setup(L, M, cfg, rp)
+        assert isinstance(st.hier.coarse, DenseInverse)
+        x, info = solve_mg_refined(st, b, tol=1e-8)
+        tr = (np.linalg.norm(b - L.astype(np.float64) @ x)
+              / np.linalg.norm(b))
+        assert tr < 1e-8, (levels, tr)
+        iters[levels] = info["iters"]
+    # an (exactly solved) large coarsest can only help convergence
+    assert iters[2] <= iters[4] + 1
+
+
+def test_sa_amg_large_coarsest():
+    """SA-AMG with a >4096-dof coarsest level uses the device inverse and
+    keeps its cycle counts."""
+    import scipy.sparse as sp
+    from mgtpu import get_regular_mesh
+    from mgtpu.setup.sa_amg import sa_amg_setup
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+    from mgtpu.solvers.mg_solver import solve_mg
+    n = 160                             # 2 levels -> coarsest ~81^2 = 6561
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    rng = np.random.RandomState(3)
+    sig = np.exp(rng.randn(M.num_cells))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-6 * abs(A).sum(0).max() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=2, relax_type="spai", max_outer_iter=25,
+                           relative_tol=1e-8, dtype=np.float32)
+    st = sa_amg_setup(A, cfg, rp, mesh=M)
+    assert st.As[-1].shape[0] > 4096
+    b = A @ rng.rand(A.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg(st, b)
+    assert info["relres"] < 1e-6
