@@ -42,3 +42,22 @@ class Layout:
     def scale(self, v, s):
         """v * s with s (m,) broadcast over the spatial axes."""
         return v * s[self._expand]
+
+    # -- block (shared-Krylov-space) primitives --------------------------
+    def gram(self, a, b):
+        """Block inner product a^H b -> (m, m)."""
+        if self.batch_leading:
+            af = a.reshape(self.nbatch, -1)
+            bf = b.reshape(self.nbatch, -1)
+            return af.conj() @ bf.T
+        return a.conj().T @ b
+
+    def mix(self, v, S):
+        """Column mixing: sum_i v_i S[i, j] -> j-th output RHS.
+
+        The m x m coefficient matrices of block Krylov methods act on the
+        RHS axis; spatially this is one skinny matmul (MXU work)."""
+        if self.batch_leading:
+            vf = v.reshape(self.nbatch, -1)
+            return (S.T @ vf).reshape(v.shape)
+        return v @ S

@@ -559,6 +559,13 @@ def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x):
     axis, so every region is written exactly once (a scatter-add of the
     boundary corrections would read-modify-write the full output per slab,
     costing more than the coefficient traffic it saves).
+
+    NOTE (measured dead end, do not revisit without slope timing): lowering
+    the constant interior through lax.conv looks 40x faster under naive
+    block_until_ready timing but that measures DISPATCH only on this
+    runtime; slope-timed reality is conv 81 ms (HIGHEST) / 13.6 ms (default
+    bf16, which also breaks the residual accuracy contract) vs 1.36 ms for
+    these shifted adds at 129^3 — a C=1 conv cannot feed the 128x128 MXU.
     """
     g = len(grid)
     nb = x.ndim - g

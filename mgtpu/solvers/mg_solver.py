@@ -557,13 +557,20 @@ def _krylov_setup(state: MGState, b, x0):
     return cfg, b2, x2, matvec, prec, to_flat, False
 
 
-def solve_cg_mg(state: MGState, b, x0=None, verbose: bool = False):
-    """MG-preconditioned CG (reference solveCG_MG, SolveFuncs.jl:103-116)."""
+def solve_cg_mg(state: MGState, b, x0=None, verbose: bool = False,
+                block: bool = False):
+    """MG-preconditioned CG (reference solveCG_MG, SolveFuncs.jl:103-116).
+
+    block=True uses the shared-Krylov-space block CG for multiple RHS — the
+    reference's blockCG dispatch (SolveFuncs.jl:109-114)."""
     from ..krylov.cg import pcg
+    from ..krylov.block import block_pcg
     t0 = time.perf_counter()
     cfg, bv, xv, matvec, prec, to_flat, lead = _krylov_setup(state, b, x0)
-    x, info = pcg(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
-                  max_iter=cfg.max_outer_iter, batch_leading=lead)
+    nrhs = bv.shape[0] if lead else (bv.shape[1] if bv.ndim > 1 else 1)
+    fn = block_pcg if (block and nrhs > 1) else pcg
+    x, info = fn(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
+                 max_iter=cfg.max_outer_iter, batch_leading=lead)
     if verbose:
         print(f"solve_cg_mg: {int(info['iters'])} iters, relres "
               f"{float(jnp.max(info['relres'])):.3e}")
@@ -572,14 +579,19 @@ def solve_cg_mg(state: MGState, b, x0=None, verbose: bool = False):
     return to_flat(x), info
 
 
-def solve_bicgstab_mg(state: MGState, b, x0=None, verbose: bool = False):
+def solve_bicgstab_mg(state: MGState, b, x0=None, verbose: bool = False,
+                      block: bool = False):
     """MG-preconditioned BiCGSTAB (reference solveBiCGSTAB_MG,
-    SolveFuncs.jl:85-99)."""
+    SolveFuncs.jl:85-99).  block=True uses the shared-space Bl-BiCGSTAB
+    (reference blockBiCGSTB dispatch, SolveFuncs.jl:91-96)."""
     from ..krylov.bicgstab import bicgstab
+    from ..krylov.block import block_bicgstab
     t0 = time.perf_counter()
     cfg, bv, xv, matvec, prec, to_flat, lead = _krylov_setup(state, b, x0)
-    x, info = bicgstab(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
-                       max_iter=cfg.max_outer_iter, batch_leading=lead)
+    nrhs = bv.shape[0] if lead else (bv.shape[1] if bv.ndim > 1 else 1)
+    fn = block_bicgstab if (block and nrhs > 1) else bicgstab
+    x, info = fn(matvec, bv, prec=prec, x0=xv, tol=cfg.relative_tol,
+                 max_iter=cfg.max_outer_iter, batch_leading=lead)
     if verbose:
         print(f"solve_bicgstab_mg: {int(info['iters'])} iters, relres "
               f"{float(jnp.max(info['relres'])):.3e}")
