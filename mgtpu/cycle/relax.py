@@ -112,19 +112,25 @@ def fgmres_relaxation(matvec, prec, r0, x0, inner: int):
     n*m block system.  `prec` is applied to r0 first, then to each successive
     A z (reference FGMRES.jl:82-95).
     """
+    # operands may be plain arrays or pytrees of per-component fields (the
+    # systems engine's block fields); ravel_pytree makes the Krylov algebra
+    # layout-agnostic and is a plain reshape for the array case
+    from jax.flatten_util import ravel_pytree
+    r0f, unravel = ravel_pytree(r0)
     zs, azs = [], []
     w = r0
     for j in range(inner):
         z = prec(r0 if j == 0 else w)
         w = matvec(z)
-        zs.append(z.reshape(-1))
-        azs.append(w.reshape(-1))
+        zs.append(ravel_pytree(z)[0])
+        azs.append(ravel_pytree(w)[0])
     Z = jnp.stack(zs, axis=1)      # (n*m, inner)
     AZ = jnp.stack(azs, axis=1)    # (n*m, inner)
     G = AZ.conj().T @ AZ           # (inner, inner) normal equations
-    c = AZ.conj().T @ r0.reshape(-1)
+    c = AZ.conj().T @ r0f
     t = jnp.linalg.pinv(G, rtol=1e-12) @ c
-    return x0 + (Z @ t).reshape(x0.shape)
+    corr = unravel(Z @ t)
+    return jax.tree_util.tree_map(lambda a, b: a + b, x0, corr)
 
 
 @functools.partial(jax.tree_util.register_dataclass,

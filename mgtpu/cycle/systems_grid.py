@@ -339,6 +339,16 @@ def systems_grid_cycle(cfg, gh: SystemsGridHierarchy, b, x, level: int = 0,
         bc = systems_restrict(r, lvl.R1)
         if level == nlev - 2:
             xc = gh.coarse.solve(bc)
+        elif ctype == "K":
+            # K-cycle: 2-step FGMRES on the coarse level preconditioned by
+            # the recursive cycle (reference MGcycle.jl:72-76), on block
+            # fields via the pytree-aware fgmres_relaxation
+            from .relax import fgmres_relaxation
+            coarse_mv = gh.levels[level + 1].A.matvec
+            prec = lambda v: systems_grid_cycle(cfg, gh, v, _tzeros(v),
+                                                level + 1, "K")
+            xc = fgmres_relaxation(coarse_mv, prec, bc, _tzeros(bc),
+                                   cfg.kcycle_inner)
         else:
             xc = systems_grid_cycle(cfg, gh, bc, _tzeros(bc), level + 1, ctype)
             if ctype == "W":
@@ -425,8 +435,6 @@ def build_systems_grid_hierarchy(state, relax_states) -> SystemsGridHierarchy:
     if cfg.relax_type not in _SYS_RELAX:
         raise ValueError(f"systems grid engine: unsupported relaxation "
                          f"{cfg.relax_type}")
-    if cfg.cycle_type == "K":
-        raise ValueError("systems grid engine does not implement K-cycles")
     if not state.meshes or len(state.meshes) < state.num_levels:
         raise ValueError("systems grid engine needs per-level meshes")
     if cfg.coarse_solve != "lu" or state.coarse_solver is not None:

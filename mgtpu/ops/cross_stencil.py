@@ -84,11 +84,14 @@ class CrossGridStencil:
 
 
 def cross_stencil_from_csr(A: sp.spmatrix, out_nodes, in_nodes,
-                           dtype=None, max_shift: int = 2) -> CrossGridStencil:
+                           dtype=None, max_shift: int = 2,
+                           device: bool = True) -> CrossGridStencil:
     """Extract the cross-grid stencil of a block operator.
 
     out_nodes/in_nodes: per-mesh-dim extents, dim 0 fastest.  Raises
     ValueError when any entry's per-axis shift exceeds max_shift.
+    device=False keeps the coefficients as numpy (host-side splitting, e.g.
+    the df32 double-single construction).
     """
     out_nodes = [int(v) for v in np.asarray(out_nodes).ravel()]
     in_nodes = [int(v) for v in np.asarray(in_nodes).ravel()]
@@ -111,7 +114,8 @@ def cross_stencil_from_csr(A: sp.spmatrix, out_nodes, in_nodes,
     np.add.at(coeff, (pos, Ac.row), Ac.data.astype(dt))
     offsets = (tuple(tuple(int(v) for v in o) for o in offs)
                if len(offs) else ((0,) * len(out_grid),))
-    return CrossGridStencil(jnp.asarray(coeff.reshape((-1,) + out_grid)),
+    cg = coeff.reshape((-1,) + out_grid)
+    return CrossGridStencil(jnp.asarray(cg) if device else cg,
                             offsets, out_grid, in_grid)
 
 

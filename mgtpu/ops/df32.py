@@ -30,7 +30,10 @@ import numpy as np
 import scipy.sparse as sp
 
 __all__ = ["two_sum", "two_prod", "DFConstStencil", "df_const_from_csr",
-           "df_residual", "df_accumulate"]
+           "df_residual", "df_accumulate",
+           "DFGridStencil", "df_dense_from_csr", "df_residual_dense",
+           "DFBlockOperator", "df_block_from_csr", "df_residual_block",
+           "df_residual_any", "df_accumulate_tree"]
 
 
 # NOTE on compiler safety: XLA:TPU (including with
@@ -172,3 +175,175 @@ def df_residual(dfA: DFConstStencil, b_hi, b_lo, x_hi, x_lo):
                 jnp.concatenate([low[1], mid[1], high[1]], axis=ax))
 
     return assemble(0, [0] * g, list(grid))
+
+
+# ---------------------------------------------------------------------------
+# dense (variable-coefficient) and block (systems) double-single residuals
+# ---------------------------------------------------------------------------
+
+def _split_pair(a):
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["coeff_hi", "coeff_lo"],
+                   meta_fields=["offsets", "grid"])
+@dataclass(frozen=True)
+class DFGridStencil:
+    """Dense variable-coefficient stencil with double-single coefficients.
+
+    Covers operators whose coefficients vary in the interior (no
+    constant-interior compression): coeff_[hi|lo] are (ndiags, *grid), and
+    the compensated residual is one shifted multiply-add chain — it also
+    shards like any cycle stencil (parallel/sharded_solve.py builds its
+    padded embedding from this form)."""
+    coeff_hi: jax.Array
+    coeff_lo: jax.Array
+    offsets: tuple
+    grid: tuple
+
+
+def df_dense_from_csr(A, node_counts, pad_grid=None) -> DFGridStencil:
+    """Split an f64 operator into dense df32 stencil form (host-side),
+    optionally zero-padded to `pad_grid` for the sharded embedding."""
+    from .grid_stencil import grid_stencil_from_csr
+    gs = grid_stencil_from_csr(A, node_counts, dtype=np.float64, device=False)
+    coeff = np.asarray(gs.coeff, np.float64)
+    grid = gs.grid
+    if pad_grid is not None:
+        pad = [(0, 0)] + [(0, p - g) for p, g in zip(pad_grid, grid)]
+        coeff = np.pad(coeff, pad)
+        grid = tuple(pad_grid)
+    hi, lo = _split_pair(coeff)
+    return DFGridStencil(hi, lo, gs.offsets, grid)
+
+
+def df_residual_dense(dfA: DFGridStencil, b_hi, b_lo, x_hi, x_lo):
+    """r = b - A (x_hi + x_lo) in double-single on (.., *grid) fields.
+
+    Same compensated accumulation as df_residual (error-free head products,
+    cross terms in the low word) but over the dense stencil."""
+    from .grid_stencil import _shift
+    g = len(dfA.grid)
+    s, e = b_hi, b_lo
+    for k, off in enumerate(dfA.offsets):
+        xs_hi, xs_lo = x_hi, x_lo
+        for a, da in enumerate(off):
+            if da:
+                ax_h = xs_hi.ndim - g + a
+                xs_hi = _shift(xs_hi, ax_h, da, dfA.grid[a])
+                xs_lo = _shift(xs_lo, ax_h, da, dfA.grid[a])
+        ch, cl = dfA.coeff_hi[k], dfA.coeff_lo[k]
+        p, pe = two_prod(ch, xs_hi)
+        cross = ch * xs_lo + cl * xs_hi + pe
+        s, e2 = two_sum(s, -p)
+        e = e + (e2 - cross)
+    return two_sum(s, e)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["coeff_hi", "coeff_lo"],
+                   meta_fields=["pairs", "offsets", "out_grids", "in_grids"])
+@dataclass(frozen=True)
+class DFBlockOperator:
+    """Face-staggered block operator with double-single coefficients.
+
+    Per stored block (ci, cj): coeff_[hi|lo][b] is (ndiags_b, *out_grid_b)
+    in the cross-grid stencil layout (ops/cross_stencil.py).  Fields are
+    tuples of per-component (m, *grid_c) arrays — the systems engine's block
+    fields — so mixed elasticity certifies TRUE 1e-8 residuals from an f32
+    hierarchy without jax x64."""
+    coeff_hi: tuple
+    coeff_lo: tuple
+    pairs: tuple
+    offsets: tuple        # per block: tuple of per-axis shifts
+    out_grids: tuple
+    in_grids: tuple
+
+
+def df_block_from_csr(A, n_cells, with_pressure: bool) -> DFBlockOperator:
+    """Split an f64 staggered operator into df32 block stencil form."""
+    from .cross_stencil import cross_stencil_from_csr
+    from ..cycle.systems_grid import face_component_grids
+    import scipy.sparse as ssp
+    n = [int(v) for v in np.asarray(n_cells).ravel()]
+    dim = len(n)
+    grids, offs = face_component_grids(n, with_pressure)
+    A = ssp.csr_matrix(A).astype(np.float64)
+    if A.shape[0] != offs[-1]:
+        raise ValueError("operator size does not match the staggered layout")
+    nodes = []
+    for j in range(dim):
+        s = list(n)
+        s[j] += 1
+        nodes.append(s)
+    if with_pressure:
+        nodes.append(list(n))
+    pairs, c_hi, c_lo, offsets, ogs, igs = [], [], [], [], [], []
+    for ci in range(len(grids)):
+        Ai = A[offs[ci]:offs[ci + 1]].tocsc()
+        for cj in range(len(grids)):
+            blk = Ai[:, offs[cj]:offs[cj + 1]].tocsr()
+            if blk.nnz == 0:
+                continue
+            S = cross_stencil_from_csr(blk, nodes[ci], nodes[cj],
+                                       dtype=np.float64, device=False)
+            hi, lo = _split_pair(S.coeff)
+            pairs.append((ci, cj))
+            c_hi.append(hi)
+            c_lo.append(lo)
+            offsets.append(S.offsets)
+            ogs.append(S.out_grid)
+            igs.append(S.in_grid)
+    return DFBlockOperator(tuple(c_hi), tuple(c_lo), tuple(pairs),
+                           tuple(offsets), tuple(ogs), tuple(igs))
+
+
+def df_residual_block(dfB: DFBlockOperator, b_hi, b_lo, x_hi, x_lo):
+    """r = b - A (x_hi + x_lo) on block fields (tuples of (m, *grid_c))."""
+    s = list(b_hi)
+    e = list(b_lo)
+    for i, (ci, cj) in enumerate(dfB.pairs):
+        offsets = dfB.offsets[i]
+        out_grid, in_grid = dfB.out_grids[i], dfB.in_grids[i]
+        xh, xl = x_hi[cj], x_lo[cj]
+        g = len(out_grid)
+        nb = xh.ndim - g
+        lo = [max(0, -min(off[a] for off in offsets)) for a in range(g)]
+        hi = [max(0, max(off[a] + out_grid[a] - in_grid[a]
+                         for off in offsets)) for a in range(g)]
+        pad = [(0, 0)] * nb + [(lo[a], hi[a]) for a in range(g)]
+        xhp = jnp.pad(xh, pad)
+        xlp = jnp.pad(xl, pad)
+        for k, off in enumerate(offsets):
+            st = [0] * nb + [lo[a] + off[a] for a in range(g)]
+            sz = list(xh.shape[:nb]) + list(out_grid)
+            xs_hi = jax.lax.dynamic_slice(xhp, st, sz)
+            xs_lo = jax.lax.dynamic_slice(xlp, st, sz)
+            ch, cl = dfB.coeff_hi[i][k], dfB.coeff_lo[i][k]
+            p, pe = two_prod(ch, xs_hi)
+            cross = ch * xs_lo + cl * xs_hi + pe
+            s[ci], e2 = two_sum(s[ci], -p)
+            e[ci] = e[ci] + (e2 - cross)
+    out = [two_sum(sc, ec) for sc, ec in zip(s, e)]
+    return tuple(h for h, _ in out), tuple(l for _, l in out)
+
+
+def df_residual_any(op, b_hi, b_lo, x_hi, x_lo):
+    """Dispatch over the three df32 operator forms."""
+    if isinstance(op, DFConstStencil):
+        return df_residual(op, b_hi, b_lo, x_hi, x_lo)
+    if isinstance(op, DFGridStencil):
+        return df_residual_dense(op, b_hi, b_lo, x_hi, x_lo)
+    return df_residual_block(op, b_hi, b_lo, x_hi, x_lo)
+
+
+def df_accumulate_tree(x_hi, x_lo, z):
+    """df_accumulate over arrays or tuples of component fields."""
+    if isinstance(x_hi, tuple):
+        out = [df_accumulate(h, l, zz) for h, l, zz in zip(x_hi, x_lo, z)]
+        return tuple(h for h, _ in out), tuple(l for _, l in out)
+    return df_accumulate(x_hi, x_lo, z)

@@ -26,69 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.grid_stencil import (GridStencil, _shift, flat_to_grid,
+from ..ops.grid_stencil import (GridStencil, flat_to_grid,
                                 grid_to_flat, grid_stencil_from_csr)
-from ..ops.df32 import two_sum, two_prod, df_accumulate
+from ..ops.df32 import (DFGridStencil, df_dense_from_csr, df_residual_dense,
+                        df_accumulate)
 from ..cycle.grid_cycle import GridHierarchy, grid_cycle
 from .grid_sharded import make_grid_sharded_cycle, _pad_to
 
-__all__ = ["DFGridStencil", "df_residual_dense", "ShardedGridSolver",
-           "make_sharded_refined_solver"]
-
-
-@functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["coeff_hi", "coeff_lo"],
-                   meta_fields=["offsets", "grid"])
-@dataclass(frozen=True)
-class DFGridStencil:
-    """Dense variable-coefficient stencil with double-single coefficients.
-
-    Unlike DFConstStencil (ops/df32.py) there is no interior compression —
-    coeff_[hi|lo] are (ndiags, *grid) and shard along the grid axes exactly
-    like the f32 cycle stencils, so one sharding spec covers both.
-    """
-    coeff_hi: jax.Array
-    coeff_lo: jax.Array
-    offsets: tuple
-    grid: tuple
-
-
-def df_grid_stencil(A, node_counts, pad_grid=None) -> DFGridStencil:
-    """Split an f64 operator into dense df32 stencil form (host-side),
-    optionally zero-padded to `pad_grid` for the sharded embedding."""
-    gs = grid_stencil_from_csr(A, node_counts, dtype=np.float64, device=False)
-    coeff = np.asarray(gs.coeff, np.float64)
-    grid = gs.grid
-    if pad_grid is not None:
-        pad = [(0, 0)] + [(0, p - g) for p, g in zip(pad_grid, grid)]
-        coeff = np.pad(coeff, pad)
-        grid = tuple(pad_grid)
-    hi = coeff.astype(np.float32)
-    lo = (coeff - hi.astype(np.float64)).astype(np.float32)
-    return DFGridStencil(jnp.asarray(hi), jnp.asarray(lo), gs.offsets, grid)
-
-
-def df_residual_dense(dfA: DFGridStencil, b_hi, b_lo, x_hi, x_lo):
-    """r = b - A (x_hi + x_lo) in double-single on (.., *grid) fields.
-
-    Same compensated accumulation as ops/df32.df_residual (error-free head
-    products, cross terms in the low word) but over the dense stencil: one
-    shifted multiply-add chain, no region assembly — shards cleanly."""
-    g = len(dfA.grid)
-    s, e = b_hi, b_lo
-    for k, off in enumerate(dfA.offsets):
-        xs_hi, xs_lo = x_hi, x_lo
-        for a, da in enumerate(off):
-            if da:
-                ax_h = xs_hi.ndim - g + a
-                xs_hi = _shift(xs_hi, ax_h, da, dfA.grid[a])
-                xs_lo = _shift(xs_lo, ax_h, da, dfA.grid[a])
-        ch, cl = dfA.coeff_hi[k], dfA.coeff_lo[k]
-        p, pe = two_prod(ch, xs_hi)
-        cross = ch * xs_lo + cl * xs_hi + pe
-        s, e2 = two_sum(s, -p)
-        e = e + (e2 - cross)
-    return two_sum(s, e)
+__all__ = ["ShardedGridSolver", "make_sharded_refined_solver"]
 
 
 def _split64(v):
@@ -169,7 +114,7 @@ class ShardedGridSolver:
         A_hi = state.A_input if getattr(state, "A_input", None) is not None \
             else state.As[0]
         nodes = list(reversed(self.true_grid))
-        dfA = df_grid_stencil(A_hi, nodes, pad_grid=self.pad_grid)
+        dfA = df_dense_from_csr(A_hi, nodes, pad_grid=self.pad_grid)
         self.dfA = DFGridStencil(jax.device_put(dfA.coeff_hi, coeff_spec),
                                  jax.device_put(dfA.coeff_lo, coeff_spec),
                                  dfA.offsets, dfA.grid)

@@ -202,27 +202,39 @@ def _cast_hier(hier, dtype):
 def _df32_residual_op(state: MGState):
     """Double-single residual operator for the fine level, or None.
 
-    Built from the ORIGINAL-precision matrix (A_input) over the
-    constant-interior stencil structure; covers the scalar grid engine with
-    real dtypes.  TPUs emulate f64 ~5x slower than f32, so the compensated
-    two-float32 residual (ops/df32.py) is the native way to certify 1e-8.
+    Built from the ORIGINAL-precision matrix (A_input): constant-interior
+    form where the operator compresses, dense-stencil form for
+    variable-coefficient scalar operators, and the block form for the
+    staggered systems engine (mixed elasticity to TRUE 1e-8 without x64).
+    TPUs emulate f64 ~5x slower than f32, so the compensated two-float32
+    residual (ops/df32.py) is the native way to certify 1e-8.
     """
     cached = getattr(state, "_df32_op_cache", None)
     if cached is not None:
         return cached[0]
     op = None
-    try:
+    if not np.issubdtype(np.dtype(state.config.dtype), np.complexfloating):
         from ..cycle.grid_cycle import GridHierarchy
-        from ..ops.df32 import df_const_from_csr
-        if isinstance(state.hier, GridHierarchy) and \
-                not np.issubdtype(np.dtype(state.config.dtype),
-                                  np.complexfloating):
-            A_host = state.A_input if getattr(state, "A_input", None) \
-                is not None else state.As[0]
+        from ..cycle.systems_grid import SystemsGridHierarchy
+        from ..ops.df32 import (df_const_from_csr, df_dense_from_csr,
+                                df_block_from_csr)
+        A_host = state.A_input if getattr(state, "A_input", None) \
+            is not None else state.As[0]
+        if isinstance(state.hier, GridHierarchy):
             nodes = list(reversed(state.hier.fine_grid))
-            op = df_const_from_csr(sp.csr_matrix(A_host), nodes)
-    except (ValueError, ImportError):
-        op = None
+            try:
+                op = df_const_from_csr(sp.csr_matrix(A_host), nodes)
+            except ValueError:
+                try:
+                    op = df_dense_from_csr(sp.csr_matrix(A_host), nodes)
+                except ValueError:
+                    op = None
+        elif isinstance(state.hier, SystemsGridHierarchy) and state.meshes:
+            try:
+                op = df_block_from_csr(A_host, list(state.meshes[0].n),
+                                       state.config.mixed)
+            except ValueError:
+                op = None
     state._df32_op_cache = (op,)
     return op
 
@@ -423,17 +435,33 @@ def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
 
     One device dispatch for the whole solve; the compensated residual
     (ops/df32.py) replaces the ~5x-slower emulated-f64 SpMV while keeping
-    ~1e-13 effective residual precision.  use_fmg seeds x with one full
-    multigrid pass (discretization-accuracy initial guess).
+    ~1e-13 effective residual precision.  Fields are grid arrays (scalar
+    engine) or tuples of component fields (systems engine — mixed
+    elasticity certifies TRUE 1e-8 without x64); df_residual_any picks the
+    matching compensated operator form.  use_fmg seeds x with one full
+    multigrid pass (scalar grid engine only).
     """
-    from ..cycle.grid_cycle import grid_cycle, grid_fmg
-    from ..ops.df32 import df_residual, df_accumulate
+    from ..cycle.grid_cycle import GridHierarchy, grid_cycle, grid_fmg
+    from ..cycle.systems_grid import SystemsGridHierarchy, systems_grid_cycle
+    from ..ops.df32 import df_residual_any, df_accumulate_tree
 
-    if use_fmg:
+    if isinstance(hier_lo, SystemsGridHierarchy):
+        cyc = lambda r: systems_grid_cycle(cfg, hier_lo, _vastype(r, cd),
+                                           _vzeros(r, cd))
+    else:
+        cyc = lambda r: grid_cycle(cfg, hier_lo, r.astype(cd),
+                                   jnp.zeros_like(r, dtype=cd))
+
+    def sq_norm(v):
+        if isinstance(v, tuple):
+            return sum(jnp.sum(t * t) for t in v)
+        return jnp.sum(v * v)
+
+    if use_fmg and isinstance(hier_lo, GridHierarchy):
         z = grid_fmg(cfg, hier_lo, b_hi.astype(cd)).astype(jnp.float32)
-        xh, xl = df_accumulate(xh, xl, z)
+        xh, xl = df_accumulate_tree(xh, xl, z)
 
-    res0 = jnp.sqrt(jnp.sum(b_hi * b_hi))
+    res0 = jnp.sqrt(sq_norm(b_hi))
     resvec = jnp.zeros((max_iter + 1,), jnp.float32)
 
     def cond(carry):
@@ -443,16 +471,15 @@ def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
 
     def body(carry):
         xh, xl, rh, it, res, rv = carry
-        z = grid_cycle(cfg, hier_lo, rh.astype(cd),
-                       jnp.zeros_like(rh, dtype=cd))
-        xh, xl = df_accumulate(xh, xl, z.astype(jnp.float32))
-        rh, rl = df_residual(df_op, b_hi, b_lo, xh, xl)
-        res = jnp.sqrt(jnp.sum(rh * rh))
+        z = cyc(rh)
+        xh, xl = df_accumulate_tree(xh, xl, _vastype(z, jnp.float32))
+        rh, rl = df_residual_any(df_op, b_hi, b_lo, xh, xl)
+        res = jnp.sqrt(sq_norm(rh))
         rv = rv.at[it + 1].set(res)
         return (xh, xl, rh, it + 1, res, rv)
 
-    rh0, _ = df_residual(df_op, b_hi, b_lo, xh, xl)
-    res_init = jnp.sqrt(jnp.sum(rh0 * rh0))
+    rh0, _ = df_residual_any(df_op, b_hi, b_lo, xh, xl)
+    res_init = jnp.sqrt(sq_norm(rh0))
     resvec = resvec.at[0].set(res_init)
     xh, xl, _, iters, res, resvec = jax.lax.while_loop(
         cond, body, (xh, xl, rh0, jnp.int32(0), res_init, resvec))

@@ -27,3 +27,10 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(17)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running convergence tests (> ~7s); the quick gate is "
+        "`pytest -m 'not slow'` (< 3 min), full suite for release checks")

@@ -1,6 +1,7 @@
 """SA-AMG + classical AMG convergence contract (reference
 test/Multigrid/testSAforDivSigGrad.jl — SURVEY.md §4 / BASELINE.md)."""
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from mgtpu import (get_mg_param, solve_mg, solve_cg_mg, solve_bicgstab_mg,
@@ -314,6 +315,7 @@ def test_classical_amg_variants():
         assert r < 0.005, (kw, r)
 
 
+@pytest.mark.slow
 def test_large_coarsest_device_inverse():
     """Coarsest levels above the 4096-dof checked-inverse cap factor ON
     DEVICE (LU + n-RHS solve), with no O(nc^3) host inversion — the
@@ -347,6 +349,7 @@ def test_large_coarsest_device_inverse():
     assert iters[2] <= iters[4] + 1
 
 
+@pytest.mark.slow
 def test_sa_amg_large_coarsest():
     """SA-AMG with a >4096-dof coarsest level uses the device inverse and
     keeps its cycle counts."""

@@ -1,6 +1,7 @@
 """Shared-Krylov-space block CG / Bl-BiCGSTAB (reference blockCG/blockBiCGSTB
 dispatch, SolveFuncs.jl:91-96,109-114,126-131)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -49,6 +50,7 @@ def test_block_bicgstab_nonsymmetric():
     assert np.all(r / np.linalg.norm(B, axis=0) < 1e-8)
 
 
+@pytest.mark.slow
 def test_solve_cg_mg_block_parity_divsiggrad():
     """4-RHS DivSigGrad MG-preconditioned solve (testLinSolveMGWrapper.jl:33-39
     analog): block CG reaches tol in no more iterations than batched CG."""

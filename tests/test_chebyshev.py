@@ -5,6 +5,7 @@ per matvec than damped Jacobi, with no dot products (sharded-cycle friendly)
 and a fixed linear cycle operator (CG-safe).
 """
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from mgtpu import get_regular_mesh, get_mg_param, mg_setup
@@ -19,6 +20,7 @@ def _poisson(n):
     return M, L
 
 
+@pytest.mark.slow
 def test_chebyshev_gmg_convergence_contract():
     """Beats the reference's Jacobi contract (relres < 0.005 in <=5 cycles,
     testGMG.jl:55) on the same configuration class."""
@@ -53,6 +55,7 @@ def test_chebyshev_grid_matches_flat_engine():
     np.testing.assert_allclose(xs[0], xs[1], rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_chebyshev_refined_beats_jacobi_iterations():
     M, L = _poisson(128)
     b = L @ np.random.RandomState(2).rand(L.shape[0])
@@ -72,6 +75,7 @@ def test_chebyshev_refined_beats_jacobi_iterations():
     assert iters["chebyshev"] < 0.7 * iters["jacobi"]
 
 
+@pytest.mark.slow
 def test_chebyshev4_converges():
     """Fourth-kind Chebyshev (arXiv:2407.09848): no lower-bound parameter,
     same iteration counts as the tuned first-kind on the model problem."""
@@ -89,6 +93,7 @@ def test_chebyshev4_converges():
     assert info["iters"] <= 9
 
 
+@pytest.mark.slow
 def test_fmg_initial_guess():
     """solve_mg_refined(fmg=True): full-multigrid initial guess converges to
     the same certified accuracy in no more iterations."""

@@ -3,6 +3,7 @@
 Vanka variants, per-level relaxation parameters, hybrid-Kaczmarz MG smoother,
 adjoint solves through the facade."""
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from mgtpu import (get_mg_param, mg_setup, solve_mg, solve_cg_mg,
@@ -19,6 +20,7 @@ def _opn1(A):
     return abs(A).sum(axis=0).max()
 
 
+@pytest.mark.slow
 def test_elasticity_rediscretization_ctor():
     """Hierarchy by re-discretization with cell-centered coefficient
     coarsening (reference testGMGforElasticity.jl:37-64; 128^2 here for

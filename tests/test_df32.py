@@ -165,3 +165,30 @@ def test_f64_hierarchy_reaches_below_df32_cap():
     x2, info2 = solve_mg_refined(state, b, tol=1e-10, verbose=True)
     tr2 = np.linalg.norm(b - L @ np.asarray(x2, np.float64)) / np.linalg.norm(b)
     assert tr2 < 1e-9, tr2
+
+
+def test_refined_variable_coefficient_uses_dense_df32():
+    """Variable-coefficient (non-const-interior) scalar operators certify
+    through the DENSE df32 stencil instead of falling back to emulated f64
+    (VERDICT r1 item 4)."""
+    from mgtpu.solvers.mg_solver import solve_mg_refined, _df32_residual_op
+    from mgtpu.ops.df32 import DFGridStencil
+    n = 48
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    rng = np.random.RandomState(11)
+    sig = np.exp(0.5 * rng.randn(M.num_cells))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-4 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])
+         ).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=2, nu_post=2, dtype=np.float32,
+                           max_outer_iter=60)
+    state = mg_setup(A, M, cfg, rp)
+    op = _df32_residual_op(state)
+    assert isinstance(op, DFGridStencil)
+    b = A @ rng.rand(A.shape[0])
+    b /= np.linalg.norm(b)
+    x, info = solve_mg_refined(state, b, tol=1e-8)
+    tr = (np.linalg.norm(b - A.astype(np.float64) @ np.asarray(x, np.float64))
+          / np.linalg.norm(b))
+    assert tr < 1e-8, tr

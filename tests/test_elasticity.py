@@ -2,6 +2,7 @@
 (reference test/Multigrid/testGMGRAPforElasticity.jl and
 testGMGRAPforElasticityVanka.jl — SURVEY.md §4 / BASELINE.md)."""
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from mgtpu import (get_mg_param, mg_setup, solve_mg, solve_cg_mg,
@@ -36,6 +37,7 @@ def test_elasticity_2d_rap_spai():
     assert np.linalg.norm(A @ np.asarray(X) - B) < 0.01
 
 
+@pytest.mark.slow
 def test_elasticity_3d_rap_spai():
     """3D 16x16x12 elasticity (reference testGMGRAPforElasticity.jl:42-63)."""
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0, 0.0, 1.0], [16, 16, 12])
@@ -78,6 +80,7 @@ def test_elasticity_mixed_vanka_2d():
     assert np.linalg.norm(A @ np.asarray(x) - b) < 0.05
 
 
+@pytest.mark.slow
 def test_elasticity_mixed_vanka_3d():
     """3D 16^3 mixed + Vanka (reference testGMGRAPforElasticityVanka.jl:87-111)."""
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0, 0.0, 1.0], [16, 16, 16])

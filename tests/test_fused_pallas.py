@@ -7,6 +7,7 @@ MGTPU_FUSED=interpret) against the flat reference cycle.
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -73,6 +74,7 @@ def test_fused_batched_fields():
         np.testing.assert_allclose(r[i], ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_cycle_matches_xla_cycle():
     """Full V-cycle through the fused path == the XLA grid path."""
     from mgtpu.cycle.grid_cycle import grid_cycle

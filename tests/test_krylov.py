@@ -1,6 +1,7 @@
 """Krylov methods: standalone correctness + MG-preconditioned contract
 (reference testGMGRAPforPoisson.jl:47-55, testSAforDivSigGrad.jl:41-50)."""
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from mgtpu import (get_mg_param, mg_setup, solve_cg_mg, solve_bicgstab_mg,
@@ -74,6 +75,7 @@ def test_bicgstab():
     assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
 
 
+@pytest.mark.slow
 def test_gmres_mg_poisson():
     """GMRES + GMG: < 0.001 (reference testGMGRAPforPoisson.jl:47-55)."""
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [128, 128])
@@ -90,6 +92,7 @@ def test_gmres_mg_poisson():
     assert np.linalg.norm(A @ np.asarray(X) - B) < 0.001
 
 
+@pytest.mark.slow
 def test_cg_and_bicgstab_mg_poisson():
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [64, 64])
     L = nodal_laplacian_matrix(M)
@@ -152,6 +155,7 @@ def test_krylov_batch_leading_layout_matches_columns():
                                    rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_grid_engine_krylov_solves_native():
     """MG-preconditioned Krylov on the grid engine: no flat vectors in the
     loop, mixed-precision outer (f64 b over f32 hierarchy)."""

@@ -4,6 +4,7 @@ Point smoothers stall on anisotropic operators under full coarsening; line
 relaxation along the strong axis restores multigrid efficiency.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -23,6 +24,7 @@ def _aniso(n, eps):
     return M, sp.csr_matrix(A)
 
 
+@pytest.mark.slow
 def test_line_solve_exact_tridiagonal():
     """T^-1 via associative scans == scipy solve on the pure-line operator."""
     n = 32
@@ -45,6 +47,7 @@ def test_line_solve_exact_tridiagonal():
     np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_line_jacobi_beats_point_jacobi_on_anisotropy():
     n = 64
     eps = 100.0
@@ -65,6 +68,7 @@ def test_line_jacobi_beats_point_jacobi_on_anisotropy():
     assert res["line-jacobi"] < 1e-2 * res["jacobi"]
 
 
+@pytest.mark.slow
 def test_line_jacobi_isotropic_still_converges():
     n = 64
     M, A = _aniso(n, 1.0)

@@ -2,6 +2,7 @@
 virtual 8-device CPU mesh (SURVEY.md §5 multi-host mapping; tested the way the
 reference tests its Distributed tier — locally, testDDParallel_Poisson.jl)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def _setup(n=64, levels=3, shift=1e-4):
     return M, L, state
 
 
+@pytest.mark.slow
 def test_sharded_cycle_matches_single_chip():
     M, L, state = _setup(64, 3)
     mesh = _mesh_1d_devices()
@@ -92,6 +94,7 @@ def test_sharded_variable_coefficients_multirhs():
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_sharded_3d():
     """3D sharded hierarchy (slab along the 3rd dim, 27-point stencils)."""
     import scipy.sparse as sp

@@ -14,8 +14,8 @@ from jax.sharding import Mesh
 
 from mgtpu import get_regular_mesh, get_mg_param, mg_setup
 from mgtpu.models.operators import nodal_laplacian_matrix
-from mgtpu.parallel.sharded_solve import (make_sharded_refined_solver,
-                                          df_grid_stencil, df_residual_dense)
+from mgtpu.parallel.sharded_solve import make_sharded_refined_solver
+from mgtpu.ops.df32 import df_dense_from_csr, df_residual_dense
 
 
 def _poisson_state(n=128, levels=4, shift=1e-4):
@@ -39,7 +39,7 @@ def _mesh(ndev, shape=None, axes=("x",)):
 def test_df_residual_dense_matches_f64():
     state, L = _poisson_state(32, 3)
     nodes = [33, 33]
-    dfA = df_grid_stencil(L, nodes)
+    dfA = df_dense_from_csr(L, nodes)
     rng = np.random.RandomState(0)
     x64 = rng.rand(L.shape[0]).astype(np.float64)
     b64 = rng.rand(L.shape[0]).astype(np.float64)
@@ -60,6 +60,7 @@ def test_df_residual_dense_matches_f64():
     assert np.abs(r - r_ref).max() / scale < 1e-12
 
 
+@pytest.mark.slow
 def test_sharded_refined_matches_single_device_trajectory():
     """8-device trajectory == 1-device trajectory of the same sharded code
     AND matches the single-chip solve_mg_refined contract: same iteration
@@ -96,6 +97,7 @@ def test_sharded_refined_matches_single_device_trajectory():
     assert np.allclose(info8["resvec"], info_ref["resvec"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_refined_pencil_mesh_multirhs():
     state, L = _poisson_state(64, 3)
     rng = np.random.RandomState(2)
@@ -108,6 +110,7 @@ def test_sharded_refined_pencil_mesh_multirhs():
     assert x.shape == b.shape
 
 
+@pytest.mark.slow
 def test_sharded_fgmres_and_cg_match_single_device():
     state, L = _poisson_state(64, 3)
     rng = np.random.RandomState(3)

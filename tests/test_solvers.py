@@ -77,6 +77,7 @@ def test_batched_dense_lu():
     assert err < 1e-10
 
 
+@pytest.mark.slow
 def test_schur_complement_solver():
     """Pressure-elimination solve of the mixed system (reference
     SchurCompSolver.jl:55-93)."""
@@ -100,6 +101,7 @@ def test_schur_complement_solver():
     assert np.linalg.norm(A @ np.asarray(x2) - b) / np.linalg.norm(b) < 0.5
 
 
+@pytest.mark.slow
 def test_mg_solver_wrapper_gmres_pcg_bicgstab():
     """Wrapper contract: ||AX-B||/||B|| < 1e-2 with 4 RHS
     (reference testLinSolveMGWrapper.jl:20-45)."""

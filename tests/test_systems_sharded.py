@@ -5,6 +5,7 @@ tests its Distributed tier with local processes
 (test/DomainDecomposition/testDDParallel_Poisson.jl:2-6).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
@@ -31,6 +32,7 @@ def _mixed_state(n, levels, relax="VankaFaces"):
     return mg_setup(A, M, cfg, rp), A
 
 
+@pytest.mark.slow
 def test_systems_sharded_matches_single_device():
     state, A = _mixed_state(16, 3)
     assert isinstance(state.hier, SystemsGridHierarchy)
@@ -55,6 +57,7 @@ def test_systems_sharded_matches_single_device():
     np.testing.assert_allclose(x_sh, x_one, rtol=1e-10, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_systems_sharded_converges():
     state, A = _mixed_state(32, 3)
     mesh = Mesh(np.array(jax.devices()), ("x",))   # all 8 virtual devices
@@ -72,6 +75,7 @@ def test_systems_sharded_converges():
     assert relres < 0.05
 
 
+@pytest.mark.slow
 def test_systems_sharded_plain_elasticity():
     """Face-staggered (no pressure) elasticity with SPAI smoothing."""
     M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [16, 16])
