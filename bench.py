@@ -258,6 +258,12 @@ def main():
     b3_64 = L3 @ rng.rand(L3.shape[0])
     b3_64 /= np.linalg.norm(b3_64)
     _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
+    # 3D fine-level SpMV throughput (the one-pass Pallas kernel's headline);
+    # the rescale keeps the chained iterates finite (||A|| ~ 1e5 here)
+    sc3 = np.float32(1.0 / abs(L3).sum(axis=0).max())
+    mv3_ms = _chain_timer(lambda h, bb, xx: sc3 * h.levels[0].A.matvec(xx),
+                          st3.hier, bg3, bg3, ks=(2, 22), reps=3)
+    gnnz3 = st3.As[0].nnz * 1e3 / mv3_ms / 1e9
 
     # multi-RHS throughput (block cycles are first-class, reference FGMRES.jl:51)
     bg8 = flat_to_grid(jnp.asarray(
@@ -312,6 +318,8 @@ def main():
             "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
             "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
+            "poisson3d_matvec_ms": round(mv3_ms, 4),
+            "poisson3d_gnnz_per_s": round(gnnz3, 2),
             "poisson3d_iters_to_1e-8": int(rinfo3["iters"]),
             "vcycle_8rhs_ms_per_rhs": round(m8_ms / 8, 4),
             "setup_2d_1024_s": round(setup2, 2),

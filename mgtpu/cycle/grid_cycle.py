@@ -208,6 +208,26 @@ def _fused_interpret(cfg, lvl: "GridLevel"):
     return mode == "interpret"
 
 
+def _fused3d_interpret(cfg, lvl: "GridLevel"):
+    """interpret-flag for the fused 3D kernels at this level, or None.
+
+    Rides on ConstGridStencil.faces (built only for 3D radius-1 f32 levels
+    past the size floor, ops/pallas/const3d.supports_const3d) and the same
+    MGTPU_PALLAS3D mode switch as the one-pass matvec kernel."""
+    if cfg.relax_type not in ("jacobi", "spai") or lvl.d is None:
+        return None
+    from ..ops.grid_stencil import ConstGridStencil, _pallas3d_mode
+    A = lvl.A
+    if not isinstance(A, ConstGridStencil) or A.faces is None:
+        return None
+    if not hasattr(lvl.d, "shape") or tuple(lvl.d.shape) != tuple(A.grid):
+        return None
+    mode = _pallas3d_mode()
+    if mode == "off":
+        return None
+    return mode == "interpret"
+
+
 def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
     if nu <= 0:
         return x
@@ -243,8 +263,11 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
     lvl = gh.levels[level]
     matvec = lvl.A.matvec
     fi = _fused_interpret(cfg, lvl)
+    f3 = None if fi is not None else _fused3d_interpret(cfg, lvl)
     if fi is not None:
         from ..ops.pallas import fused_const as fk
+    if f3 is not None:
+        from ..ops.pallas import fused3d as f3k
     with jax.named_scope(f"gmg_level{level}"):
         if fi is not None:
             # fused Pallas path: each smoother application / residual is one
@@ -255,6 +278,12 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
                 x, r = fk.jacobi_residual(lvl.A, lvl.d, b, x, interpret=fi)
             else:
                 r = fk.residual(lvl.A, b, x, interpret=fi)
+        elif f3 is not None:
+            # fused 3D Pallas path: every sweep recomputes its residual
+            # inside one kernel pass (ops/pallas/fused3d.py)
+            for _ in range(cfg.nu_pre[level]):
+                x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
+            r = f3k.residual3d(lvl.A, b, x, interpret=f3)
         else:
             r = b - matvec(x)
             x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
@@ -284,6 +313,10 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
                     x = fk.jacobi_step(lvl.A, lvl.d, b, x, interpret=fi)
             else:
                 x = x + p
+        elif f3 is not None:
+            x = x + p
+            for _ in range(cfg.nu_post[level]):
+                x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
         else:
             x = x + p
             r = b - matvec(x)

@@ -438,7 +438,7 @@ def _stride2_restrict(coeff, E, offsets, coarse_grid, r):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["const", "strips"],
+                   data_fields=["const", "strips", "faces"],
                    meta_fields=["offsets", "grid", "boxes"])
 @dataclass(frozen=True)
 class ConstGridStencil:
@@ -465,6 +465,7 @@ class ConstGridStencil:
     offsets: tuple[tuple[int, ...], ...]
     grid: tuple[int, ...]
     boxes: tuple
+    faces: tuple | None = None   # 3D kernel band coeffs (fx, fy, fz)
 
     @property
     def dtype(self):
@@ -487,11 +488,12 @@ class ConstGridStencil:
             x2 = x[:, None] if squeeze else x
             yg = const_grid_stencil_matvec(
                 self.const, self.strips, self.offsets, self.grid, self.boxes,
-                flat_to_grid(x2, self.grid))
+                flat_to_grid(x2, self.grid), self.faces)
             y = grid_to_flat(yg)
             return y[:, 0] if squeeze else y
         return const_grid_stencil_matvec(self.const, self.strips,
-                                         self.offsets, self.grid, self.boxes, x)
+                                         self.offsets, self.grid, self.boxes,
+                                         x, self.faces)
 
     def to_dense_stencil(self) -> GridStencil:
         nd = len(self.offsets)
@@ -508,7 +510,9 @@ class ConstGridStencil:
     def astype(self, dtype) -> "ConstGridStencil":
         return ConstGridStencil(self.const.astype(dtype),
                                 tuple(s.astype(dtype) for s in self.strips),
-                                self.offsets, self.grid, self.boxes)
+                                self.offsets, self.grid, self.boxes,
+                                tuple(f.astype(dtype) for f in self.faces)
+                                if self.faces is not None else None)
 
 
 def compress_grid_stencil(gs: GridStencil, width: int = 2,
@@ -546,12 +550,30 @@ def compress_grid_stencil(gs: GridStencil, width: int = 2,
             boxes.append((tuple(st), tuple(sz)))
             sl = tuple(slice(b, b + z) for b, z in zip(st, sz))
             strips.append(conv(coeff[(slice(None),) + sl]))
+    faces = None
+    from .pallas.const3d import supports_const3d, build_faces
+    if supports_const3d(gs.offsets, grid, coeff.dtype):
+        faces = tuple(conv(f) for f in build_faces(coeff, width))
     return ConstGridStencil(conv(c), tuple(strips), gs.offsets,
-                            grid, tuple(boxes))
+                            grid, tuple(boxes), faces)
+
+
+def _pallas3d_mode() -> str:
+    """'on' | 'off' | 'interpret' for the 3D one-pass interior kernel.
+
+    Default: on for TPU-class backends, off on CPU (where XLA fuses the
+    shifted adds adequately and the interpreter would be slow).
+    MGTPU_PALLAS3D=on|off|interpret overrides (interpret is for tests)."""
+    import os
+    env = os.environ.get("MGTPU_PALLAS3D", "").lower()
+    if env in ("on", "off", "interpret"):
+        return env
+    return "off" if jax.default_backend() in ("cpu", "gpu") else "on"
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "grid", "boxes"))
-def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x):
+def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x,
+                              faces=None):
     """y = A x for a constant-interior stencil; x is (..., *grid).
 
     The output is assembled from disjoint regions — two boundary slabs per
@@ -559,6 +581,12 @@ def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x):
     axis, so every region is written exactly once (a scatter-add of the
     boundary corrections would read-modify-write the full output per slab,
     costing more than the coefficient traffic it saves).
+
+    3D interior: XLA materialises one pass per tap in 3D (slope-timed
+    0.83-1.36 ms at 129^3 vs the ~0.1 ms memory floor), so radius-1 f32
+    stencils compute the interior with the one-pass Pallas kernel
+    (ops/pallas/const3d.py) and only the boundary band goes through the
+    per-strip path.
 
     NOTE (measured dead end, do not revisit without slope timing): lowering
     the constant interior through lax.conv looks 40x faster under naive
@@ -570,6 +598,13 @@ def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x):
     g = len(grid)
     nb = x.ndim - g
     dt = jnp.result_type(const, x)
+    mode = _pallas3d_mode()
+    if g == 3 and mode != "off" and faces is not None:
+        from .pallas.const3d import supports_const3d, const3d_matvec_pallas
+        if supports_const3d(offsets, grid, dt):
+            w = boxes[0][1][0]
+            return const3d_matvec_pallas(const, faces, offsets, x, w,
+                                         interpret=(mode == "interpret"))
     lo = [max(0, -min(off[a] for off in offsets)) for a in range(g)]
     hi = [max(0, max(off[a] for off in offsets)) for a in range(g)]
     pad = [(0, 0)] * nb + [(lo[a], hi[a]) for a in range(g)]

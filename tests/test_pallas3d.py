@@ -1,0 +1,92 @@
+"""3D one-pass Pallas kernels (ops/pallas/const3d.py, fused3d.py), interpret
+mode: exact matvec / residual / jacobi vs the assembled scipy operator."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from mgtpu import get_regular_mesh
+from mgtpu.models.operators import nodal_laplacian_matrix
+import mgtpu.ops.pallas.const3d as c3
+
+
+@pytest.fixture()
+def small_kernels(monkeypatch):
+    """Lower the size floor so test-size grids build faces, and route the
+    const matvec through the interpreter."""
+    def sc(offsets, grid, dtype):
+        return (len(grid) == 3
+                and all(abs(d) <= 1 for off in offsets for d in off)
+                and all(n >= 16 for n in grid)
+                and np.dtype(dtype) == np.float32)
+    monkeypatch.setattr(c3, "supports_const3d", sc)
+    monkeypatch.setenv("MGTPU_PALLAS3D", "interpret")
+    yield
+
+
+def _op(n):
+    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])
+         ).tocsr().astype(np.float32)
+    from mgtpu.ops.grid_stencil import make_grid_stencil
+    A = make_grid_stencil(L, [n + 1] * 3)
+    assert A.faces is not None
+    return L, A
+
+
+@pytest.mark.parametrize("n", [16, 24])
+def test_const3d_matvec_exact(small_kernels, n):
+    L, A = _op(n)
+    x = np.random.RandomState(0).rand(L.shape[0], 2).astype(np.float32)
+    y = np.asarray(A.matvec(jnp.asarray(x)), np.float64)
+    yref = L.astype(np.float64) @ x.astype(np.float64)
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 2e-5
+
+
+def test_fused3d_ops_exact(small_kernels):
+    from mgtpu.ops.pallas.fused3d import residual3d, jacobi3d
+    L, A = _op(24)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    os.environ["MGTPU_PALLAS3D"] = "off"     # XLA reference matvec
+    r_ref = b - A.matvec(x)
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    r_f = residual3d(A, b, x, interpret=True)
+    assert float(jnp.abs(r_f - r_ref).max() / jnp.abs(r_ref).max()) < 2e-5
+    xj_f = jacobi3d(A, d, b, x, interpret=True)
+    xj_ref = x + d * r_ref
+    assert float(jnp.abs(xj_f - xj_ref).max()
+                 / jnp.abs(xj_ref).max()) < 2e-5
+
+
+def test_fused3d_cycle_matches_xla(small_kernels):
+    from mgtpu import get_mg_param, mg_setup
+    from mgtpu.cycle.grid_cycle import grid_cycle
+    from mgtpu.ops.grid_stencil import flat_to_grid
+    n = 24
+    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=2, nu_post=1, dtype=np.float32)
+    os.environ["MGTPU_PALLAS3D"] = "off"
+    st_ref = mg_setup(L, M, cfg, rp)
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    st_fus = mg_setup(L, M, cfg, rp)
+    assert st_fus.hier.levels[0].A.faces is not None
+    b = flat_to_grid(jnp.asarray(
+        np.random.RandomState(0).rand(L.shape[0], 2).astype(np.float32)),
+        st_ref.hier.fine_grid)
+    x0 = jnp.zeros_like(b)
+    os.environ["MGTPU_PALLAS3D"] = "off"
+    y_ref = np.asarray(grid_cycle(cfg, st_ref.hier, b, x0))
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    y_fus = np.asarray(grid_cycle(cfg, st_fus.hier, b, x0))
+    d = np.abs(y_fus - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
+    assert d < 1e-5, d
