@@ -155,9 +155,13 @@ def grid_restrict(rg: jax.Array, P1) -> jax.Array:
     if isinstance(P1, Stride2Transfer):
         return P1.restrict(rg)
     y = rg
+    nc = 0
     for a, W in enumerate(P1):
+        if W is None:                 # semicoarsening: axis not coarsened
+            continue
+        nc += 1
         y = _axis_matmul(y, W, 1 + a)
-    return (0.5 ** len(P1)) * y
+    return (0.5 ** nc) * y
 
 
 def grid_prolong(xc: jax.Array, P1) -> jax.Array:
@@ -167,6 +171,8 @@ def grid_prolong(xc: jax.Array, P1) -> jax.Array:
         return P1.prolong(xc)
     y = xc
     for a, W in enumerate(P1):
+        if W is None:
+            continue
         y = _axis_matmul(y, W.T, 1 + a)
     return y
 
@@ -403,8 +409,9 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
     """Build the grid engine for an MGState when eligible; raises ValueError
     otherwise (callers fall back to the flat ELL/DIA hierarchy)."""
     cfg = state.config
-    if cfg.transfer_type != "full-weighting":
-        raise ValueError("grid engine needs scalar full-weighting transfers")
+    if cfg.transfer_type not in ("full-weighting", "semicoarsening"):
+        raise ValueError("grid engine needs scalar full-weighting or "
+                         "semicoarsening transfers")
     if cfg.relax_type not in _GRID_RELAX:
         raise ValueError("grid engine supports pointwise relaxations only")
     if not state.meshes or len(state.meshes) < state.num_levels:
@@ -448,12 +455,19 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
             # matmul transfers are bitwise-faithful to the host setup
             # (mg_setup's own full-weighting transfers are these factors BY
             # construction — the kron re-assembly is skipped for them, it is
-            # the dominant 3D setup cost)
-            p1s = [tr.fw_interp_1d(nn)[0] for nn in nodes]
+            # the dominant 3D setup cost).  Under semicoarsening an axis
+            # whose extent does not shrink carries a None factor (skipped
+            # by grid_restrict/grid_prolong).
+            nodes_c = [int(v) + 1
+                       for v in np.asarray(state.meshes[l + 1].n).ravel()]
+            p1s = [tr.fw_interp_1d(nn)[0] if nn != ncn else None
+                   for nn, ncn in zip(nodes, nodes_c)]
             if not getattr(state, "_fw_separable", False):
-                K = p1s[0]
-                for pm in p1s[1:]:
-                    K = sp.kron(pm, K, format="csr")
+                K = None
+                for ax, pm in enumerate(p1s):
+                    if pm is None:
+                        pm = sp.identity(nodes[ax], format="csr")
+                    K = pm if K is None else sp.kron(pm, K, format="csr")
                 # shape check first: scipy's != returns a plain bool for
                 # mismatched shapes, which has no .nnz — the ValueError must
                 # still fire so the flat-engine fallback engages
@@ -461,7 +475,9 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
                         or (K != state.Ps[l]).nnz != 0):
                     raise ValueError("hierarchy transfers are not the "
                                      "separable full-weighting factors")
-            P1 = tuple(jnp.asarray(np.asarray(p.todense(), dtype=cfg.dtype))
+            P1 = tuple(None if p is None
+                       else jnp.asarray(np.asarray(p.todense(),
+                                                   dtype=cfg.dtype))
                        for p in reversed(p1s))
             lam = getattr(rs, "lam_max", None)
         else:

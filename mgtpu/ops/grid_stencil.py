@@ -253,7 +253,7 @@ def grid_stencil_matvec(coeff: jax.Array,
     return y
 
 
-def structured_fw_rap(gs: GridStencil) -> GridStencil:
+def structured_fw_rap(gs: GridStencil, axes=None) -> GridStencil:
     """Galerkin RAP under separable full-weighting transfers on odd grids,
     computed axis-by-axis on the stencil coefficient arrays.
 
@@ -273,7 +273,9 @@ def structured_fw_rap(gs: GridStencil) -> GridStencil:
         raise ValueError("structured RAP needs a +-1 stencil")
     grid = list(gs.grid)
     W = {-1: 0.5, 0: 1.0, 1: 0.5}
-    for a in range(len(grid)):
+    # axes: grid-axis indices to coarsen (None = all) — per-axis
+    # semicoarsening just skips the uncoarsened axes' passes
+    for a in (range(len(grid)) if axes is None else axes):
         F = grid[a]
         if (F - 1) % 2:
             raise ValueError("structured RAP needs odd extents per axis")

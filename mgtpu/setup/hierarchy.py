@@ -62,6 +62,7 @@ _RELAX_ALIASES = {
 }
 _TRANSFER_ALIASES = {
     "FullWeighting": "full-weighting",
+    "SemiCoarsening": "semicoarsening",
     "SystemsFacesLinear": "systems-faces",
     "SystemsFacesMixedLinear": "systems-faces-mixed",
 }
@@ -198,6 +199,23 @@ class MGState:
 
     def operator_complexity(self) -> float:
         return sum(a.nnz for a in self.As) / max(self.As[0].nnz, 1)
+
+
+def _semicoarsen_axes(gs, theta: float = 0.25) -> list:
+    """Per-MESH-axis coarsening flags: coarsen axes whose pure-axis coupling
+    is within `theta` of the strongest (the robust-MG semicoarsening rule).
+    gs: host grid stencil of the level operator."""
+    coeff = np.asarray(gs.coeff)
+    dim = len(gs.grid)
+    strength = np.zeros(dim)
+    for k, off in enumerate(gs.offsets):
+        nz = [a for a, d in enumerate(off) if d != 0]
+        if len(nz) == 1 and abs(off[nz[0]]) == 1:
+            ga = nz[0]
+            strength[dim - 1 - ga] = max(strength[dim - 1 - ga],
+                                         float(np.abs(coeff[k]).mean()))
+    smax = strength.max() if dim else 0.0
+    return [bool(sv >= theta * smax and sv > 0) for sv in strength]
 
 
 def hierarchy_exists(state: MGState | None) -> bool:
@@ -400,7 +418,38 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
     for l in range(cfg.levels - 1):
         t0 = time.perf_counter()
         A_l = As[l]
-        if cfg.transfer_type == "full-weighting":
+        sc_axes = None                   # mesh-axis coarsening flags (semi)
+        if cfg.transfer_type == "semicoarsening":
+            # coarsen only the STRONGLY coupled axes (classic robust-MG
+            # rule; the reference has no semicoarsening — this pairs with
+            # the line smoother for anisotropy at depth, ROADMAP item)
+            from ..ops.grid_stencil import grid_stencil_from_csr
+            gs_f = _gs_cache.get(l)
+            if gs_f is None:
+                gs_f = grid_stencil_from_csr(A_l, list(n + 1), device=False)
+                _gs_cache[l] = gs_f
+            sc_axes = _semicoarsen_axes(gs_f)
+            p1s, nc1s = [], []
+            for a, nd in enumerate(n + 1):
+                nd = int(nd)
+                if sc_axes[a] and nd % 2 == 1 and nd >= 5:
+                    P1, c1 = tr.fw_interp_1d(nd)
+                else:
+                    sc_axes[a] = False
+                    P1, c1 = sp.identity(nd, format="csr"), nd
+                p1s.append(P1)
+                nc1s.append(c1)
+            if not any(sc_axes):
+                if verbose:
+                    print(f"mg_setup: stopped coarsening at level {l}")
+                levels = l + 1
+                break
+            nc = np.asarray(nc1s, dtype=np.int64) - 1
+            d_c = int(sum(sc_axes))
+            P_entry = (lambda ms=tuple(p1s): tr._kron_nd(list(ms)))
+            R_entry = (lambda ms=tuple(p1s), d=d_c:
+                       ((0.5 ** d) * tr._kron_nd(list(ms)).T).tocsr())
+        elif cfg.transfer_type == "full-weighting":
             # build only the cheap 1D factors now; the flat kron P/R (needed
             # by the flat fallback and scipy-RAP lifecycle fallback only) is
             # deferred via _LazySparseList — the grid engine never reads it
@@ -436,7 +485,7 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
         meshes.append(mesh_c)
         if ctor is None:
             A_c = None
-            if cfg.transfer_type == "full-weighting":
+            if cfg.transfer_type in ("full-weighting", "semicoarsening"):
                 # structured stencil RAP: two scipy SpGEMMs -> ~30 strided
                 # numpy passes on the grid-form coefficients (which the grid
                 # engine reuses via the cache below)
@@ -448,7 +497,11 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
                         gs_f = grid_stencil_from_csr(A_l, list(n + 1),
                                                      device=False)
                         _gs_cache[l] = gs_f
-                    gs_c = structured_fw_rap(gs_f)
+                    dim_g = len(gs_f.grid)
+                    rap_axes = (None if sc_axes is None else
+                                tuple(dim_g - 1 - a
+                                      for a, c in enumerate(sc_axes) if c))
+                    gs_c = structured_fw_rap(gs_f, axes=rap_axes)
                     _gs_cache[l + 1] = gs_c
                     A_c = gs_c.to_scipy().tocsr()
                     A_c.eliminate_zeros()   # boundary non-entries
@@ -483,7 +536,8 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
     # geometric=True, which returns identity factors for even node extents —
     # those differ from the geometric=False factors build_grid_hierarchy
     # re-derives, so the kron verification must run there.
-    state._fw_separable = (cfg.transfer_type == "full-weighting"
+    state._fw_separable = (cfg.transfer_type in ("full-weighting",
+                                                 "semicoarsening")
                            and not geometric)
     t0 = time.perf_counter()
     state.hier = build_device_hierarchy(state, relax_states, verbose)
