@@ -181,39 +181,6 @@ def grid_prolong(xc: jax.Array, P1) -> jax.Array:
 # cycle
 # ---------------------------------------------------------------------------
 
-def _fused_mode() -> str:
-    """Fused-Pallas dispatch: 'on', 'interpret' (tests), 'off' (default).
-
-    The fused kernels are bitwise-exact vs the XLA path but their per-op
-    pad/unpad wrapper currently costs more than the fusion saves (the XLA
-    const-stencil path is already near memory-bound); they stay opt-in until
-    the padded-persistent-layout integration lands.  Override with
-    MGTPU_FUSED=on|off|interpret."""
-    import os
-    env = os.environ.get("MGTPU_FUSED", "").lower()
-    if env in ("on", "off", "interpret"):
-        return env
-    return "off"
-
-
-_FUSED_MIN_NODES = 2 ** 18     # below this a Pallas call's fixed cost loses
-
-
-def _fused_interpret(cfg, lvl: "GridLevel"):
-    """interpret-flag for the fused kernels at this level, or None (XLA path)."""
-    if cfg.relax_type not in ("jacobi", "spai") or lvl.d is None:
-        return None
-    mode = _fused_mode()
-    if mode == "off":
-        return None
-    from ..ops.pallas import fused_const as fk
-    if not fk.supports_fused(lvl.A, lvl.d.dtype):
-        return None
-    if mode == "on" and int(np.prod(lvl.A.grid)) < _FUSED_MIN_NODES:
-        return None
-    return mode == "interpret"
-
-
 def _fused3d_interpret(cfg, lvl: "GridLevel"):
     """interpret-flag for the fused 3D kernels at this level, or None.
 
@@ -268,23 +235,11 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
 
     lvl = gh.levels[level]
     matvec = lvl.A.matvec
-    fi = _fused_interpret(cfg, lvl)
-    f3 = None if fi is not None else _fused3d_interpret(cfg, lvl)
-    if fi is not None:
-        from ..ops.pallas import fused_const as fk
+    f3 = _fused3d_interpret(cfg, lvl)
     if f3 is not None:
         from ..ops.pallas import fused3d as f3k
     with jax.named_scope(f"gmg_level{level}"):
-        if fi is not None:
-            # fused Pallas path: each smoother application / residual is one
-            # HBM pass (see ops/pallas/fused_const.py)
-            for _ in range(cfg.nu_pre[level] - 1):
-                x = fk.jacobi_step(lvl.A, lvl.d, b, x, interpret=fi)
-            if cfg.nu_pre[level] >= 1:
-                x, r = fk.jacobi_residual(lvl.A, lvl.d, b, x, interpret=fi)
-            else:
-                r = fk.residual(lvl.A, b, x, interpret=fi)
-        elif f3 is not None:
+        if f3 is not None:
             # fused 3D Pallas path: every sweep recomputes its residual
             # inside one kernel pass (ops/pallas/fused3d.py)
             for _ in range(cfg.nu_pre[level]):
@@ -312,14 +267,7 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
                 xc = grid_cycle(cfg, gh, bc, xc, level + 1, "V")
 
         p = grid_prolong(xc, lvl.P1)
-        if fi is not None:
-            if cfg.nu_post[level] >= 1:
-                x = fk.correct_jacobi(lvl.A, lvl.d, b, x, p, interpret=fi)
-                for _ in range(cfg.nu_post[level] - 1):
-                    x = fk.jacobi_step(lvl.A, lvl.d, b, x, interpret=fi)
-            else:
-                x = x + p
-        elif f3 is not None:
+        if f3 is not None:
             x = x + p
             for _ in range(cfg.nu_post[level]):
                 x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
