@@ -28,7 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..setup.hierarchy import MGState
 from .stencil import (StencilLevel, TransferPlan, stencil_from_banded,
-                      make_transfer_plan, stencil_matvec_local, exchange_halo,
+                      make_transfer_plan, stencil_matvec_local,
+                      stencil_matvec_overlapped, exchange_halo,
                       restrict_local, prolong_local)
 
 __all__ = ["ShardedMG", "build_sharded_mg", "make_sharded_cycle",
@@ -108,16 +109,15 @@ def build_sharded_mg(state: MGState, num_devices: int,
 def _relax(lvl: ShardedLevel, x, b, nu, axis):
     d = lvl.d[:, :, None]
     for _ in range(nu):
-        r = b - stencil_matvec_local(lvl.coeff, lvl.di, lvl.dj,
-                                     exchange_halo(x, axis))
+        r = b - stencil_matvec_overlapped(lvl.coeff, lvl.di, lvl.dj, x, axis)
         x = x + d * r
     return x
 
 
 def _sharded_vcycle(mg: ShardedMG, b, x, level, axis):
     lvl = mg.levels[level]
-    mv = lambda v: stencil_matvec_local(lvl.coeff, lvl.di, lvl.dj,
-                                        exchange_halo(v, axis))
+    mv = lambda v: stencil_matvec_overlapped(lvl.coeff, lvl.di, lvl.dj, v,
+                                             axis)
     with jax.named_scope(f"smg_level{level}"):
         x = _relax(lvl, x, b, mg.nu_pre[level], axis)
         r = b - mv(x)
@@ -195,8 +195,8 @@ def make_sharded_solver(state: MGState, mesh: Mesh, axis: str = "x",
         # residual norm via the sharded operator (psum inside shard_map)
         def res(mg_, b_, x_):
             lvl = mg_.levels[0]
-            r = b_ - stencil_matvec_local(lvl.coeff, lvl.di, lvl.dj,
-                                          exchange_halo(x_, axis))
+            r = b_ - stencil_matvec_overlapped(lvl.coeff, lvl.di, lvl.dj,
+                                               x_, axis)
             return jnp.sqrt(jax.lax.psum(jnp.sum(jnp.abs(r) ** 2), axis))
 
         rn = shard_map(res, mesh=mesh,

@@ -107,6 +107,39 @@ def stencil_matvec_local(coeff_loc, di, dj, x_halo):
     return y
 
 
+def stencil_matvec_overlapped(coeff_loc, di, dj, x_loc, axis_name: str):
+    """y = A x on a slab with the halo exchange SPLIT OFF the interior
+    dependency (compute-comm overlap).
+
+    `exchange_halo` + `stencil_matvec_local` makes every output row depend
+    on the ppermute, serialising ICI transfer before compute.  Here the
+    interior rows [1, S-1) read only local planes, so XLA's latency-hiding
+    scheduler is free to run the ICI transfer behind the interior stencil
+    work; only the two edge rows wait for their neighbor plane.  Per
+    element the multiply-add sequence is identical to the fused form, so
+    the result is bitwise equal (pinned by the conformance tests).
+
+    This is the XLA-level form of VERDICT r1 item 9; an explicit
+    `pltpu.make_async_remote_copy` ring kernel only pays off beyond what
+    the scheduler already overlaps and needs real multi-chip hardware to
+    measure — deferred (ROADMAP).
+    """
+    S = coeff_loc.shape[1]
+    ndev = jax.lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(ndev - 1)]
+    up = [(i + 1, i) for i in range(ndev - 1)]
+    from_left = jax.lax.ppermute(x_loc[-1:], axis_name, down)
+    from_right = jax.lax.ppermute(x_loc[:1], axis_name, up)
+    y_int = stencil_matvec_local(coeff_loc[:, 1:S - 1], di, dj, x_loc)
+    y_top = stencil_matvec_local(
+        coeff_loc[:, 0:1], di, dj,
+        jnp.concatenate([from_left, x_loc[:2]], axis=0))
+    y_bot = stencil_matvec_local(
+        coeff_loc[:, S - 1:S], di, dj,
+        jnp.concatenate([x_loc[S - 2:], from_right], axis=0))
+    return jnp.concatenate([y_top, y_int, y_bot], axis=0)
+
+
 def exchange_halo(x_loc, axis_name: str):
     """x_loc: (S, NI, m) slab -> (S+2, NI, m) with neighbor halo planes.
 
