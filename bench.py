@@ -175,11 +175,12 @@ def main():
     true_rr = float(np.linalg.norm(
         b64 - state.A_input.astype(np.float64) @ np.asarray(xr, np.float64)))
 
-    # Chebyshev(2) smoothing: a TPU-first smoother (no dot products, fixed
-    # linear operator) that halves the refined iteration count vs Jacobi —
-    # the framework's best time-to-1e-8 configuration
+    # Chebyshev(3) V(1,0) smoothing: a TPU-first smoother (no dot products,
+    # fixed linear operator); the best measured time-to-1e-8 configuration
+    # (r2 sweep: cheb3 V(1,0) 1.95 ms < jacobi V(2,1) 2.23 < cheb2 V(1,1)
+    # 2.5-2.8 on this problem)
     cfg_c, rp_c = get_mg_param(levels=levels, relax_type="chebyshev",
-                               cheby_degree=2, nu_pre=1, nu_post=1,
+                               cheby_degree=3, nu_pre=1, nu_post=0,
                                dtype=dtype)
     st_c = mg_setup(L, M, cfg_c, rp_c)
     dfA_c = _df32_residual_op(st_c)
@@ -311,10 +312,10 @@ def main():
             "iters_to_relres_1e-8": iters_1e8,
             "time_to_1e-8_jacobi_ms": round(refined_ms * iters_1e8, 3),
             "true_relres_f64_certified": float(f"{true_rr:.3e}"),
-            "cheb2_refined_iter_ms": round(refined_c_ms, 4),
-            "cheb2_iters_to_1e-8": iters_c,
+            "cheb_refined_iter_ms": round(refined_c_ms, 4),
+            "cheb_iters_to_1e-8": iters_c,
             "time_to_1e-8_ms": round(refined_c_ms * iters_c, 3),
-            "cheb2_true_relres_f64": float(f"{true_rr_c:.3e}"),
+            "cheb_true_relres_f64": float(f"{true_rr_c:.3e}"),
             "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
             "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
