@@ -208,18 +208,27 @@ class ShardedGridSolver:
         return self.from_grid(x, squeeze), info
 
     def solve_fgmres(self, b, x0=None, tol=None, max_iter=None,
-                     restart: int = 5):
-        from ..krylov.fgmres import fgmres
-        return self._solve_krylov(fgmres, b, x0, tol, max_iter,
-                                  restart=restart)
+                     restart: int = 5, block: bool = False):
+        from ..krylov.fgmres import fgmres, block_fgmres
+        multi = np.ndim(b) > 1 and np.shape(b)[-1] > 1
+        fn = block_fgmres if (block and multi) else fgmres
+        return self._solve_krylov(fn, b, x0, tol, max_iter, restart=restart)
 
-    def solve_cg(self, b, x0=None, tol=None, max_iter=None):
+    def solve_cg(self, b, x0=None, tol=None, max_iter=None,
+                 block: bool = False):
         from ..krylov.cg import pcg
-        return self._solve_krylov(pcg, b, x0, tol, max_iter)
+        from ..krylov.block import block_pcg
+        multi = np.ndim(b) > 1 and np.shape(b)[-1] > 1
+        fn = block_pcg if (block and multi) else pcg
+        return self._solve_krylov(fn, b, x0, tol, max_iter)
 
-    def solve_bicgstab(self, b, x0=None, tol=None, max_iter=None):
+    def solve_bicgstab(self, b, x0=None, tol=None, max_iter=None,
+                       block: bool = False):
         from ..krylov.bicgstab import bicgstab
-        return self._solve_krylov(bicgstab, b, x0, tol, max_iter)
+        from ..krylov.block import block_bicgstab
+        multi = np.ndim(b) > 1 and np.shape(b)[-1] > 1
+        fn = block_bicgstab if (block and multi) else bicgstab
+        return self._solve_krylov(fn, b, x0, tol, max_iter)
 
 
 def make_sharded_refined_solver(state, mesh: Mesh, axes=("x",)

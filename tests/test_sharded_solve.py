@@ -139,3 +139,17 @@ def test_sharded_fgmres_f32_operands():
     # kappa ~ 1e4 (1e-4 relative shift): f32 attainable true residual is
     # ~kappa * eps_f32 ~ 1e-3; deep tolerances go through solve_refined
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-3
+
+
+def test_sharded_block_cg_multirhs():
+    """Shared-Krylov-space block CG on sharded operands."""
+    state, L = _poisson_state(64, 3)
+    rng = np.random.RandomState(5)
+    base = rng.rand(L.shape[0], 1)
+    B = (base + 0.05 * rng.rand(L.shape[0], 3)).astype(np.float64)
+    solver = make_sharded_refined_solver(state, _mesh(8))
+    x_blk, i_blk = solver.solve_cg(B, tol=1e-8, max_iter=30, block=True)
+    x_bat, i_bat = solver.solve_cg(B, tol=1e-8, max_iter=30)
+    r = np.linalg.norm(B - L.astype(np.float64) @ np.asarray(x_blk), axis=0)
+    assert np.all(r / np.linalg.norm(B, axis=0) < 1e-6)
+    assert int(i_blk["iters"]) <= int(i_bat["iters"])
