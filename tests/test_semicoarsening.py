@@ -87,6 +87,7 @@ def test_eps100_513_grid_contract():
     assert info["iters"] <= 15
 
 
+@pytest.mark.slow
 def test_semicoarsening_with_line_smoother():
     """Pairing with the line smoother (both tools cover anisotropy; together
     they handle mixed-strength operators)."""

@@ -42,10 +42,12 @@ def test_block_operator_matvec_matches_scipy(dim, n, mixed):
     np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("relax,mixed", [("spai", False), ("jacobi", False),
-                                         ("vanka", True),
-                                         ("econ-vanka", True),
-                                         ("vanka-add", True)])
+@pytest.mark.parametrize("relax,mixed", [
+    pytest.param("spai", False, marks=pytest.mark.slow),
+    ("jacobi", False),
+    pytest.param("vanka", True, marks=pytest.mark.slow),
+    ("econ-vanka", True),
+    ("vanka-add", True)])
 @pytest.mark.parametrize("ctype", ["V", "W", "K"])
 def test_systems_grid_cycle_matches_flat(relax, mixed, ctype):
     M, A = _elasticity(16, 2, mixed)
