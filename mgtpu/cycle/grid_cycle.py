@@ -284,16 +284,57 @@ def grid_cycle_jit(cfg, gh: GridHierarchy, b, x):
     return grid_cycle(cfg, gh, b, x)
 
 
+@functools.lru_cache(maxsize=None)
+def _cubic_factor_np(nf: int):
+    """1D cubic solution-prolongation factor (nf x nc) on an odd node grid.
+
+    Coarse nodes inject; midpoints interpolate cubically through the four
+    nearest coarse nodes ([-1, 9, 9, -1]/16 interior; one-sided
+    [5, 15, -5, 1]/16 at the ends).  Classical FMG needs the SOLUTION
+    transferred at higher order than the correction transfers to reach
+    discretization accuracy in one pass (Brandt); full-weighting's linear
+    midpoints lose two orders."""
+    assert nf % 2 == 1 and nf >= 3
+    nc = (nf - 1) // 2 + 1
+    P = np.zeros((nf, nc), dtype=np.float64)
+    P[np.arange(0, nf, 2), np.arange(nc)] = 1.0
+    w_int = np.array([-1.0, 9.0, 9.0, -1.0]) / 16.0
+    w_lo = np.array([5.0, 15.0, -5.0, 1.0]) / 16.0
+    for m in range(nc - 1):               # midpoint between coarse m, m+1
+        r = 2 * m + 1
+        if nc < 4:                        # too few nodes for a cubic: linear
+            P[r, m:m + 2] = 0.5
+        elif m == 0:
+            P[r, 0:4] = w_lo
+        elif m == nc - 2:
+            P[r, nc - 4:nc] = w_lo[::-1]
+        else:
+            P[r, m - 1:m + 3] = w_int
+    return P
+
+
+def _cubic_prolong(xc, fine_grid):
+    """Per-axis cubic solution prolongation (m, *coarse) -> (m, *fine)."""
+    y = xc
+    for a, nf in enumerate(fine_grid):
+        if y.shape[1 + a] == nf:          # axis not coarsened (semicoarsening)
+            continue
+        W = jnp.asarray(_cubic_factor_np(int(nf)), dtype=xc.dtype)
+        y = _axis_matmul(y, W.T, 1 + a)
+    return y
+
+
 def grid_fmg(cfg, gh: GridHierarchy, b, n_cycles: int = 1):
     """Full multigrid (nested iteration): solve coarsest-first, prolongating
     each level's solution as the next finer level's initial guess, with
     `n_cycles` cycles of polishing per level.
 
-    One FMG pass costs ~(1 + 2^-d + 4^-d + ...) cycles.  With these linear
-    (full-weighting) prolongations the initial guess saves about one refined
-    iteration on the 1024^2 benchmark — classical O(N) FMG accuracy needs a
-    higher-order solution interpolation between levels.  The reference has
-    no FMG driver; exposed via solve_mg_refined(fmg=True).
+    One FMG pass costs ~(1 + 2^-d + 4^-d + ...) cycles.  The SOLUTION moves
+    between levels with cubic interpolation (classical FMG requirement —
+    with the linear full-weighting prolongation the initial guess only saved
+    ~1 refined iteration); corrections inside the polishing cycles keep the
+    standard transfers.  The reference has no FMG driver; exposed via
+    solve_mg_refined(fmg=True).
     """
     nlev = len(gh.levels)
     bs = [b]
@@ -301,7 +342,12 @@ def grid_fmg(cfg, gh: GridHierarchy, b, n_cycles: int = 1):
         bs.append(grid_restrict(bs[-1], gh.levels[l].P1))
     x = gh.coarse.solve(bs[-1])
     for l in range(nlev - 2, -1, -1):
-        x = grid_prolong(x, gh.levels[l].P1)
+        fine_grid = gh.levels[l].A.grid
+        from ..ops.grid_stencil import Stride2Transfer
+        if isinstance(gh.levels[l].P1, Stride2Transfer):
+            x = grid_prolong(x, gh.levels[l].P1)   # matrix-dependent: keep
+        else:
+            x = _cubic_prolong(x, fine_grid)
         for _ in range(n_cycles):
             x = grid_cycle(cfg, gh, bs[l], x, level=l)
     return x

@@ -110,3 +110,27 @@ def test_fmg_initial_guess():
                              @ np.asarray(x, np.float64)) / np.linalg.norm(b))
         assert tr < 2e-8
     assert i1["iters"] <= i0["iters"]
+
+
+def test_cubic_fmg_halves_refined_iterations_on_smooth_rhs():
+    """ROADMAP r1 item 4: classical FMG needs higher-order SOLUTION
+    interpolation.  With the cubic inter-level transfer the FMG seed cuts
+    refined iterations ~2x on discretization-representative (smooth) RHS;
+    rough RHS gain is marginal by nature."""
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    n = 128
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=4, relax_type="jacobi", relax_param=0.8,
+                           nu_pre=1, nu_post=1, dtype=np.float32,
+                           max_outer_iter=40)
+    st = mg_setup(L, M, cfg, rp)
+    nn = n + 1
+    xx, yy = np.meshgrid(np.linspace(0, 1, nn), np.linspace(0, 1, nn))
+    b = L @ (np.sin(2 * np.pi * xx) * np.sin(3 * np.pi * yy)).reshape(-1)
+    x1, i1 = solve_mg_refined(st, b, tol=1e-8, fmg=False)
+    x2, i2 = solve_mg_refined(st, b, tol=1e-8, fmg=True)
+    tr = np.linalg.norm(b - L.astype(np.float64) @ x2) / np.linalg.norm(b)
+    assert tr < 1e-8
+    assert i2["iters"] <= i1["iters"] - 4, (i1["iters"], i2["iters"])
