@@ -56,8 +56,9 @@ def _sharded_refined_loop(cfg, gh, dfA, b_hi, b_lo, xh, xl, tol, max_iter,
 
     def cond(carry):
         xh, xl, rh, it, res, _ = carry
-        return jnp.logical_and(it < max_iter,
-                               res >= tol * jnp.maximum(res0, 1e-38))
+        ok = jnp.logical_and(res >= tol * jnp.maximum(res0, 1e-38),
+                             res < 1e3 * jnp.maximum(res0, 1e-38))
+        return jnp.logical_and(it < max_iter, ok)
 
     def body(carry):
         xh, xl, rh, it, res, rv = carry

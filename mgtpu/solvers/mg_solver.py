@@ -407,8 +407,12 @@ def _refined_device_loop(cfg, hier_lo, matvec_hi, bv, xv, tol, max_iter, cd):
 
     def cond(carry):
         x, r, it, res, _ = carry
-        return jnp.logical_and(it < max_iter,
-                               res >= tol * jnp.maximum(res0, 1e-300))
+        # divergence guard: an f32 cycle on kappa*eps > 1 operators can blow
+        # up unboundedly; stop once the residual exceeds 1e3x the start so
+        # callers see relres > 1 instead of overflow garbage
+        ok = jnp.logical_and(res >= tol * jnp.maximum(res0, 1e-300),
+                             res < 1e3 * jnp.maximum(res0, 1e-300))
+        return jnp.logical_and(it < max_iter, ok)
 
     def body(carry):
         x, r, it, res, rv = carry
@@ -466,8 +470,9 @@ def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
 
     def cond(carry):
         xh, xl, rh, it, res, _ = carry
-        return jnp.logical_and(it < max_iter,
-                               res >= tol * jnp.maximum(res0, 1e-38))
+        ok = jnp.logical_and(res >= tol * jnp.maximum(res0, 1e-38),
+                             res < 1e3 * jnp.maximum(res0, 1e-38))
+        return jnp.logical_and(it < max_iter, ok)
 
     def body(carry):
         xh, xl, rh, it, res, rv = carry
