@@ -19,7 +19,6 @@ poorly; the dense form shards like any other stencil).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +26,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.grid_stencil import (GridStencil, flat_to_grid,
-                                grid_to_flat, grid_stencil_from_csr)
+                                grid_stencil_from_csr)
 from ..ops.df32 import (DFGridStencil, df_dense_from_csr, df_residual_dense,
                         df_accumulate)
-from ..cycle.grid_cycle import GridHierarchy, grid_cycle
+from ..cycle.grid_cycle import grid_cycle
 from .grid_sharded import make_grid_sharded_cycle, _pad_to
 
 __all__ = ["ShardedGridSolver", "make_sharded_refined_solver"]
