@@ -185,3 +185,36 @@ def test_facade_adjoint_solve_nonsymmetric():
     # and back
     x = s.solve_linear_system(A, b)
     assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-6
+
+
+def test_mixed_elasticity_rediscretization_ctor_vanka():
+    """Mixed-formulation elasticity hierarchy by re-discretization with
+    coefficient coarsening + cell-wise Vanka smoothing (reference
+    testGMGforElasticityVanka.jl — its 512^2 workload at test size; the
+    reference file is not CI-clean, assertions live here)."""
+    from mgtpu.models.operators import linear_elasticity_operator_mixed
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [64, 64])
+    mu0 = 1.0 + (np.arange(M.num_cells) % 4) * 0.25
+
+    shift_scale = {}
+
+    def get_op(mesh, mu):
+        A = linear_elasticity_operator_mixed(mesh, mu, mu)
+        if "s" not in shift_scale:
+            shift_scale["s"] = 1e-3 * _opn1(A)
+        return A + shift_scale["s"] * sp.identity(A.shape[0])
+
+    ctor = OperatorConstructor(
+        mu0, get_op,
+        lambda mf, mc, mu, lvl: restrict_cell_centered_variables(
+            mu, list(mf.n)))
+    cfg, rp = get_mg_param(levels=3, max_outer_iter=10, relative_tol=1e-10,
+                           relax_type="VankaFaces", relax_param=0.75,
+                           nu_pre=1, nu_post=1,
+                           transfer_type="SystemsFacesMixedLinear")
+    state = mg_setup(ctor, M, cfg, rp)
+    A = get_op(M, mu0).tocsr()
+    B = A @ np.random.rand(A.shape[0], 2)
+    B /= np.linalg.norm(B)
+    X, info = solve_mg(state, B)
+    assert np.linalg.norm(A @ np.asarray(X) - B) < 0.05
