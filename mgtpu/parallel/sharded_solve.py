@@ -32,7 +32,8 @@ from ..ops.df32 import (DFGridStencil, df_dense_from_csr, df_residual_dense,
 from ..cycle.grid_cycle import grid_cycle
 from .grid_sharded import make_grid_sharded_cycle, _pad_to
 
-__all__ = ["ShardedGridSolver", "make_sharded_refined_solver"]
+__all__ = ["ShardedGridSolver", "make_sharded_refined_solver",
+           "ShardedSystemsSolver", "make_sharded_systems_solver"]
 
 
 def _split64(v):
@@ -235,3 +236,132 @@ def make_sharded_refined_solver(state, mesh: Mesh, axes=("x",)
                                 ) -> ShardedGridSolver:
     """Sharded end-to-end solver over `mesh` for a scalar grid MGState."""
     return ShardedGridSolver(state, mesh, axes=axes)
+
+
+# ---------------------------------------------------------------------------
+# systems (face-staggered) tier: end-to-end sharded refined solve
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iter", "cd"))
+def _sharded_refined_loop_systems(cfg, gh, dfB, b_hi, b_lo, xh, xl, tol,
+                                  max_iter, cd):
+    """Sharded df32 refinement over block fields (tuples of (m, *grid_c));
+    the systems analog of _sharded_refined_loop."""
+    from ..cycle.systems_grid import systems_grid_cycle
+    from ..ops.df32 import df_residual_block, df_accumulate_tree
+
+    def sq_norm(v):
+        return sum(jnp.sum(t * t) for t in v)
+
+    res0 = jnp.sqrt(sq_norm(b_hi))
+    resvec = jnp.zeros((max_iter + 1,), jnp.float32)
+
+    def cond(carry):
+        xh, xl, rh, it, res, _ = carry
+        ok = jnp.logical_and(res >= tol * jnp.maximum(res0, 1e-38),
+                             res < 1e3 * jnp.maximum(res0, 1e-38))
+        return jnp.logical_and(it < max_iter, ok)
+
+    def body(carry):
+        xh, xl, rh, it, res, rv = carry
+        z = systems_grid_cycle(cfg, gh,
+                               tuple(t.astype(cd) for t in rh),
+                               tuple(jnp.zeros_like(t, dtype=cd)
+                                     for t in rh))
+        xh, xl = df_accumulate_tree(
+            xh, xl, tuple(t.astype(jnp.float32) for t in z))
+        rh, rl = df_residual_block(dfB, b_hi, b_lo, xh, xl)
+        res = jnp.sqrt(sq_norm(rh))
+        rv = rv.at[it + 1].set(res)
+        return (xh, xl, rh, it + 1, res, rv)
+
+    rh0, _ = df_residual_block(dfB, b_hi, b_lo, xh, xl)
+    res_init = jnp.sqrt(sq_norm(rh0))
+    resvec = resvec.at[0].set(res_init)
+    xh, xl, _, iters, res, resvec = jax.lax.while_loop(
+        cond, body, (xh, xl, rh0, jnp.int32(0), res_init, resvec))
+    return xh, xl, iters, res, res0, resvec
+
+
+class ShardedSystemsSolver:
+    """End-to-end multi-chip refined solve for the face-staggered systems
+    engine (mixed elasticity / Stokes): the whole df32 block-residual
+    refinement loop compiles to ONE sharded program over the zero-padded
+    GSPMD embedding (parallel/systems_sharded.py)."""
+
+    def __init__(self, state, mesh: Mesh, axis: str = "x"):
+        from .systems_sharded import make_systems_sharded_cycle
+        from ..ops.df32 import df_block_from_csr, DFBlockOperator
+        cfg = state.config
+        if np.dtype(cfg.dtype) != np.float32:
+            raise ValueError("sharded refined solver assumes a float32 "
+                             "hierarchy (df32 residual certifies ~1e-13)")
+        self.state = state
+        self.cfg = cfg
+        self.mesh = mesh
+        gh_sh, cycle, to_fields, from_fields = make_systems_sharded_cycle(
+            state, mesh, axis=axis)
+        self.gh = gh_sh
+        self.cycle = cycle
+        self._to_fields_f32 = to_fields
+        self._from_fields = from_fields
+        self.true_grids = state.hier.fine_grids
+        self.pad_grids = gh_sh.levels[0].A.grids
+
+        A_hi = state.A_input if getattr(state, "A_input", None) is not None \
+            else state.As[0]
+        dfB = df_block_from_csr(A_hi, list(state.meshes[0].n), cfg.mixed)
+        # pad each block's coefficients along the sharded grid axis 0 and
+        # shard them like the cycle stencils (zero pad coeffs keep the pad
+        # region inert — same argument as pad_systems_hierarchy)
+        c_hi, c_lo, ogs, igs = [], [], [], []
+        for i, (ci, cj) in enumerate(dfB.pairs):
+            po = self.pad_grids[ci]
+            pi = self.pad_grids[cj]
+            spec = NamedSharding(mesh, P(None, axis,
+                                         *(None,) * (len(po) - 1)))
+            def padc(c):
+                pad = [(0, 0)] + [(0, po[0] - c.shape[1])] \
+                    + [(0, 0)] * (c.ndim - 2)
+                return jnp.pad(c, pad)
+            c_hi.append(jax.device_put(padc(dfB.coeff_hi[i]), spec))
+            c_lo.append(jax.device_put(padc(dfB.coeff_lo[i]), spec))
+            ogs.append(po)
+            igs.append(pi)
+        self.dfB = DFBlockOperator(tuple(c_hi), tuple(c_lo), dfB.pairs,
+                                   dfB.offsets, tuple(ogs), tuple(igs))
+
+    def solve_refined(self, b, x=None, tol: float = 1e-8,
+                      max_iter: int | None = None, cycle_dtype=None):
+        cfg = self.cfg
+        if max_iter is None:
+            max_iter = cfg.max_outer_iter
+        cd = np.dtype(cycle_dtype) if cycle_dtype is not None \
+            else np.dtype(cfg.dtype)
+        b_hi, b_lo = _split64(b)
+        squeeze = np.ndim(b) == 1
+        bh = self._to_fields_f32(b_hi[:, None] if squeeze else b_hi)
+        bl = self._to_fields_f32(b_lo[:, None] if squeeze else b_lo)
+        if x is None:
+            xh = tuple(jnp.zeros_like(t) for t in bh)
+            xl = tuple(jnp.zeros_like(t) for t in bh)
+        else:
+            x_hi, x_lo = _split64(x)
+            xh = self._to_fields_f32(x_hi[:, None] if squeeze else x_hi)
+            xl = self._to_fields_f32(x_lo[:, None] if squeeze else x_lo)
+        xh, xl, iters, res, res0, resvec = _sharded_refined_loop_systems(
+            cfg, self.gh, self.dfB, bh, bl, xh, xl, jnp.float32(tol),
+            int(max_iter), cd)
+        iters = int(iters)
+        res, res0 = float(res), float(res0)
+        x_np = (np.asarray(self._from_fields(xh), np.float64)
+                + np.asarray(self._from_fields(xl), np.float64))
+        x_out = x_np[:, 0] if squeeze else x_np
+        return x_out, {"iters": iters, "relres": res / max(res0, 1e-300),
+                       "resvec": np.asarray(resvec)[:iters + 1]}
+
+
+def make_sharded_systems_solver(state, mesh: Mesh, axis: str = "x"
+                                ) -> ShardedSystemsSolver:
+    """End-to-end sharded refined solver for a systems (staggered) MGState."""
+    return ShardedSystemsSolver(state, mesh, axis=axis)

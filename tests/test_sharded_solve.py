@@ -153,3 +153,44 @@ def test_sharded_block_cg_multirhs():
     r = np.linalg.norm(B - L.astype(np.float64) @ np.asarray(x_blk), axis=0)
     assert np.all(r / np.linalg.norm(B, axis=0) < 1e-6)
     assert int(i_blk["iters"]) <= int(i_bat["iters"])
+
+
+def _mixed_elasticity_state(n=32):
+    from mgtpu.models.operators import linear_elasticity_operator_mixed
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    mu = np.ones(M.num_cells)
+    A = linear_elasticity_operator_mixed(M, mu, mu)
+    A = (A + 1e-3 * abs(A).sum(axis=0).max() * sp.identity(A.shape[0])
+         ).tocsr()
+    cfg, rp = get_mg_param(levels=3, relax_type="VankaFaces",
+                           relax_param=0.75, nu_pre=1, nu_post=1,
+                           dtype=np.float32, max_outer_iter=40,
+                           transfer_type="SystemsFacesMixedLinear")
+    return mg_setup(A, M, cfg, rp), A
+
+
+@pytest.mark.slow
+def test_sharded_systems_refined_matches_single_chip():
+    """End-to-end multi-chip refined solve on the SYSTEMS engine: mixed
+    elasticity to TRUE 1e-8 over the 8-device mesh, iteration parity with
+    the single-chip solve_mg_refined (block df32 residual both sides)."""
+    from mgtpu.parallel.sharded_solve import make_sharded_systems_solver
+    from mgtpu.solvers.mg_solver import solve_mg_refined
+    state, A = _mixed_elasticity_state(32)
+    rng = np.random.RandomState(9)
+    b = A @ rng.rand(A.shape[0])
+    b /= np.linalg.norm(b)
+
+    solver8 = make_sharded_systems_solver(state, _mesh(8))
+    x8, i8 = solver8.solve_refined(b, tol=1e-8)
+    tr = (np.linalg.norm(b - A.astype(np.float64) @ x8)
+          / np.linalg.norm(b))
+    assert tr < 1e-8, tr
+
+    x1, i1 = solve_mg_refined(state, b, tol=1e-8)
+    assert abs(int(i8["iters"]) - int(i1["iters"])) <= 1
+    # multi-RHS
+    B = rng.rand(A.shape[0], 2)
+    XB, iB = solver8.solve_refined(B, tol=1e-8)
+    rB = np.linalg.norm(B - A.astype(np.float64) @ XB)
+    assert rB / np.linalg.norm(B) < 1e-8
