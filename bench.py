@@ -82,7 +82,17 @@ def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
 
 
 def main():
+    import os
     import jax
+    # Soft wall-clock budget: the shared chip's latency varies ~10x with
+    # co-tenant load (one bench run took 14.6 min wall on 28 s of host CPU);
+    # optional detail metrics are skipped once the budget is spent so the
+    # driver ALWAYS gets its one JSON line.
+    T0 = time.perf_counter()
+    budget = float(os.environ.get("MGTPU_BENCH_BUDGET", "450"))
+
+    def left():
+        return budget - (time.perf_counter() - T0)
     # the refinement metric needs REAL float64 residuals (without x64, f64
     # casts silently stay f32 and the 1e-8 claim would be fiction)
     jax.config.update("jax_enable_x64", True)
@@ -110,14 +120,14 @@ def main():
     state = mg_setup(L, M, cfg, rp)
     setup2_cold = time.perf_counter() - t0
     setup2 = setup2_cold
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state = mg_setup(L, M, cfg, rp)
-        setup2 = min(setup2, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    state = mg_setup(L, M, cfg, rp)
+    setup2 = min(setup2, time.perf_counter() - t0)
     # replace-matrix (same pattern, new values): the steady-state jInv cost
     from mgtpu import replace_matrix_in_hierarchy
     L_alt = (1.7 * L).tocsr()
     replace_s = None
+    # sequence ends on L so the state solves the ORIGINAL operator again
     for A_new in (L_alt, L, L_alt, L):
         t0 = time.perf_counter()
         replace_matrix_in_hierarchy(state, A_new)
@@ -202,96 +212,114 @@ def main():
 
     # mixed-elasticity Vanka cycle (systems grid engine), the reference's
     # hardest smoother path (testGMGRAPforElasticityVanka workload)
-    from mgtpu.cycle.systems_grid import (SystemsGridHierarchy,
-                                          systems_grid_cycle, block_to_fields)
-    from mgtpu.models.operators import linear_elasticity_operator_mixed
-    Me = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [128, 128])
-    mu = np.ones(Me.num_cells)
-    Ae = linear_elasticity_operator_mixed(Me, mu, mu)
-    Ae = (Ae + 1e-3 * abs(Ae).sum(axis=0).max()
-          * sp.identity(Ae.shape[0])).tocsr()
-    cfg_e, rp_e = get_mg_param(levels=4, relax_type="VankaFaces",
-                               relax_param=0.75, nu_pre=1, nu_post=1,
-                               dtype=dtype,
-                               transfer_type="SystemsFacesMixedLinear")
-    st_e = mg_setup(Ae, Me, cfg_e, rp_e)
-    assert isinstance(st_e.hier, SystemsGridHierarchy)
-    be = block_to_fields(jnp.asarray(
-        rng.rand(Ae.shape[0], 1).astype(dtype)), st_e.hier.fine_grids)
-    vanka_ms = _chain_timer(
-        lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
-        st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
+    vanka_ms = None
+    if left() > 120:
+        from mgtpu.cycle.systems_grid import (SystemsGridHierarchy,
+                                              systems_grid_cycle,
+                                              block_to_fields)
+        from mgtpu.models.operators import linear_elasticity_operator_mixed
+        Me = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [128, 128])
+        mu = np.ones(Me.num_cells)
+        Ae = linear_elasticity_operator_mixed(Me, mu, mu)
+        Ae = (Ae + 1e-3 * abs(Ae).sum(axis=0).max()
+              * sp.identity(Ae.shape[0])).tocsr()
+        cfg_e, rp_e = get_mg_param(levels=4, relax_type="VankaFaces",
+                                   relax_param=0.75, nu_pre=1, nu_post=1,
+                                   dtype=dtype,
+                                   transfer_type="SystemsFacesMixedLinear")
+        st_e = mg_setup(Ae, Me, cfg_e, rp_e)
+        assert isinstance(st_e.hier, SystemsGridHierarchy)
+        be = block_to_fields(jnp.asarray(
+            rng.rand(Ae.shape[0], 1).astype(dtype)), st_e.hier.fine_grids)
+        vanka_ms = _chain_timer(
+            lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
+            st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
 
     # structured SA-AMG on rough coefficients (the reference's headline AMG)
-    from mgtpu.setup.sa_amg import sa_amg_setup
-    from mgtpu.models.operators import nodal_div_sig_grad_matrix
-    Ms = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
-    sig = np.exp(rng.randn(512 * 512))
-    As = nodal_div_sig_grad_matrix(Ms, sig)
-    As = (As + 1e-8 * abs(As).sum(0).max() * sp.identity(As.shape[0])).tocsr()
-    cfg_s, rp_s = get_mg_param(levels=4, relax_type="spai", dtype=dtype)
-    st_s = sa_amg_setup(As, cfg_s, rp_s, mesh=Ms)
-    bs = flat_to_grid(jnp.asarray(
-        rng.rand(As.shape[0], 1).astype(dtype)), st_s.hier.fine_grid)
-    sa_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
-                         st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
+    sa_ms = None
+    if left() > 120:
+        from mgtpu.setup.sa_amg import sa_amg_setup
+        from mgtpu.models.operators import nodal_div_sig_grad_matrix
+        Ms = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
+        sig = np.exp(rng.randn(512 * 512))
+        As = nodal_div_sig_grad_matrix(Ms, sig)
+        As = (As + 1e-8 * abs(As).sum(0).max()
+              * sp.identity(As.shape[0])).tocsr()
+        cfg_s, rp_s = get_mg_param(levels=4, relax_type="spai", dtype=dtype)
+        st_s = sa_amg_setup(As, cfg_s, rp_s, mesh=Ms)
+        bs = flat_to_grid(jnp.asarray(
+            rng.rand(As.shape[0], 1).astype(dtype)), st_s.hier.fine_grid)
+        sa_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
+                             st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
 
     # 3D Poisson 128^3 (BASELINE protocol: 2D AND 3D end-to-end)
-    M3 = get_regular_mesh([0.0, 1.0] * 3, [128, 128, 128])
-    L3 = nodal_laplacian_matrix(M3)
-    L3 = (L3 + 1e-4 * abs(L3).sum(axis=0).max()
-          * sp.identity(L3.shape[0])).tocsr()
-    cfg3, rp3 = get_mg_param(levels=5, relax_type="jacobi", relax_param=0.8,
-                             nu_pre=1, nu_post=1, dtype=dtype)
-    t0 = time.perf_counter()
-    st3 = mg_setup(L3, M3, cfg3, rp3)
-    setup3_cold = time.perf_counter() - t0
-    setup3 = setup3_cold
-    for _ in range(2):
+    cycle3_ms = mv3_ms = gnnz3 = setup3 = setup3_cold = None
+    rinfo3 = None
+    if left() > 120:
+        M3 = get_regular_mesh([0.0, 1.0] * 3, [128, 128, 128])
+        L3 = nodal_laplacian_matrix(M3)
+        L3 = (L3 + 1e-4 * abs(L3).sum(axis=0).max()
+              * sp.identity(L3.shape[0])).tocsr()
+        cfg3, rp3 = get_mg_param(levels=5, relax_type="jacobi",
+                                 relax_param=0.8, nu_pre=1, nu_post=1,
+                                 dtype=dtype)
+        t0 = time.perf_counter()
+        st3 = mg_setup(L3, M3, cfg3, rp3)
+        setup3_cold = time.perf_counter() - t0
+        setup3 = setup3_cold
         t0 = time.perf_counter()
         st3 = mg_setup(L3, M3, cfg3, rp3)
         setup3 = min(setup3, time.perf_counter() - t0)
-    bg3 = flat_to_grid(jnp.asarray(
-        rng.rand(L3.shape[0], 1).astype(dtype)), st3.hier.fine_grid)
-    cycle3_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg3, h, bb, xx),
-                             st3.hier, bg3, jnp.zeros_like(bg3), ks=(2, 22),
-                             reps=3)
-    b3_64 = L3 @ rng.rand(L3.shape[0])
-    b3_64 /= np.linalg.norm(b3_64)
-    _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
-    # 3D fine-level SpMV throughput (the one-pass Pallas kernel's headline);
-    # the rescale keeps the chained iterates finite (||A|| ~ 1e5 here)
-    sc3 = np.float32(1.0 / abs(L3).sum(axis=0).max())
-    mv3_ms = _chain_timer(lambda h, bb, xx: sc3 * h.levels[0].A.matvec(xx),
-                          st3.hier, bg3, bg3, ks=(2, 22), reps=3)
-    gnnz3 = st3.As[0].nnz * 1e3 / mv3_ms / 1e9
+        bg3 = flat_to_grid(jnp.asarray(
+            rng.rand(L3.shape[0], 1).astype(dtype)), st3.hier.fine_grid)
+        cycle3_ms = _chain_timer(
+            lambda h, bb, xx: grid_cycle(cfg3, h, bb, xx),
+            st3.hier, bg3, jnp.zeros_like(bg3), ks=(2, 22), reps=2)
+        b3_64 = L3 @ rng.rand(L3.shape[0])
+        b3_64 /= np.linalg.norm(b3_64)
+        _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
+        # 3D fine-level SpMV throughput (the one-pass Pallas kernel); the
+        # rescale keeps the chained iterates finite (||A|| ~ 1e5 here)
+        sc3 = np.float32(1.0 / abs(L3).sum(axis=0).max())
+        mv3_ms = _chain_timer(
+            lambda h, bb, xx: sc3 * h.levels[0].A.matvec(xx),
+            st3.hier, bg3, bg3, ks=(2, 22), reps=2)
+        gnnz3 = st3.As[0].nnz * 1e3 / mv3_ms / 1e9
 
-    # multi-RHS throughput (block cycles are first-class, reference FGMRES.jl:51)
-    bg8 = flat_to_grid(jnp.asarray(
-        rng.rand(L.shape[0], 8).astype(dtype)), state.hier.fine_grid)
-    m8_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
-                         state.hier, bg8, jnp.zeros_like(bg8), ks=(2, 22),
-                         reps=3)
+    # multi-RHS throughput (block cycles first-class, reference FGMRES.jl:51)
+    m8_ms = None
+    if left() > 60:
+        bg8 = flat_to_grid(jnp.asarray(
+            rng.rand(L.shape[0], 8).astype(dtype)), state.hier.fine_grid)
+        m8_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+                             state.hier, bg8, jnp.zeros_like(bg8),
+                             ks=(2, 22), reps=2)
 
-    # the flat (ELL/DIA) engine, for the record
-    cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
-                               relax_param=0.8, nu_pre=1, nu_post=1,
-                               dtype=dtype, engine="flat")
-    state_f = mg_setup(L, M, cfg_f, rp_f)
-    flat_ms = _chain_timer(
-        lambda h, bb, xx: recursive_cycle(cfg_f, h, bb, xx),
-        state_f.hier, b, x0, ks=(2, 6), reps=2)
-
-    # host (CPU, scipy CSR) baseline: same cycle, float32
+    # host (CPU, scipy CSR) baseline: same cycle, float32 — host-only, so
+    # it is immune to chip contention and always runs (vs_baseline needs it)
     bh = b64.astype(dtype)[:, None]
     xh = np.zeros_like(bh)
-    xh = _host_vcycle(state_f, bh, xh)   # warm (splu factor)
+    xh = _host_vcycle(state, bh, xh)   # warm (splu factor)
     xh = np.zeros_like(bh)
     t0 = time.perf_counter()
     n_host = 3
     for _ in range(n_host):
-        xh = _host_vcycle(state_f, bh, xh)
+        xh = _host_vcycle(state, bh, xh)
     host_ms = (time.perf_counter() - t0) / n_host * 1e3
+
+    # the flat (ELL/DIA) engine, for the record
+    flat_ms = None
+    if left() > 60:
+        cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
+                                   relax_param=0.8, nu_pre=1, nu_post=1,
+                                   dtype=dtype, engine="flat")
+        state_f = mg_setup(L, M, cfg_f, rp_f)
+        flat_ms = _chain_timer(
+            lambda h, bb, xx: recursive_cycle(cfg_f, h, bb, xx),
+            state_f.hier, b, x0, ks=(2, 6), reps=2)
+
+    def r(v, nd=4):
+        return None if v is None else round(v, nd)
 
     result = {
         "metric": "poisson2d_1024_gmg_vcycle_time",
@@ -301,13 +329,13 @@ def main():
         "detail": {
             "device": str(jax.devices()[0]),
             "engine": type(state.hier).__name__,
-            "fine_nnz": int(state_f.As[0].nnz),
-            "hierarchy_nnz": int(sum(a.nnz for a in state_f.As)),
+            "fine_nnz": int(state.As[0].nnz),
+            "hierarchy_nnz": int(sum(a.nnz for a in state.As)),
             "host_cpu_vcycle_ms": round(host_ms, 3),
-            "flat_engine_vcycle_ms": round(flat_ms, 3),
+            "flat_engine_vcycle_ms": r(flat_ms, 3),
             "relres_after_20_cycles": relres,
-            "elasticity_vanka_cycle_ms": round(vanka_ms, 4),
-            "sa_amg_512_cycle_ms": round(sa_ms, 4),
+            "elasticity_vanka_cycle_ms": r(vanka_ms),
+            "sa_amg_512_cycle_ms": r(sa_ms),
             "refined_iter_ms": round(refined_ms, 4),
             "iters_to_relres_1e-8": iters_1e8,
             "time_to_1e-8_jacobi_ms": round(refined_ms * iters_1e8, 3),
@@ -316,18 +344,20 @@ def main():
             "cheb_iters_to_1e-8": iters_c,
             "time_to_1e-8_ms": round(refined_c_ms * iters_c, 3),
             "cheb_true_relres_f64": float(f"{true_rr_c:.3e}"),
-            "gnnz_per_s": round(sum(a.nnz for a in state_f.As)
+            "gnnz_per_s": round(sum(a.nnz for a in state.As)
                                 * 4 * 1e3 / dev_ms / 1e9, 2),
-            "poisson3d_128_vcycle_ms": round(cycle3_ms, 4),
-            "poisson3d_matvec_ms": round(mv3_ms, 4),
-            "poisson3d_gnnz_per_s": round(gnnz3, 2),
-            "poisson3d_iters_to_1e-8": int(rinfo3["iters"]),
-            "vcycle_8rhs_ms_per_rhs": round(m8_ms / 8, 4),
+            "poisson3d_128_vcycle_ms": r(cycle3_ms),
+            "poisson3d_matvec_ms": r(mv3_ms),
+            "poisson3d_gnnz_per_s": r(gnnz3, 2),
+            "poisson3d_iters_to_1e-8": (None if rinfo3 is None
+                                        else int(rinfo3["iters"])),
+            "vcycle_8rhs_ms_per_rhs": r(None if m8_ms is None else m8_ms / 8),
             "setup_2d_1024_s": round(setup2, 2),
-            "setup_3d_128_s": round(setup3, 2),
+            "setup_3d_128_s": r(setup3, 2),
             "setup_2d_cold_s": round(setup2_cold, 2),
-            "setup_3d_cold_s": round(setup3_cold, 2),
+            "setup_3d_cold_s": r(setup3_cold, 2),
             "replace_matrix_s": round(replace_s, 3),
+            "bench_wall_s": round(time.perf_counter() - T0, 1),
             # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
             # (the reference's platform class is an OpenMP CPU solver; an
             # 8-thread comparator would be roughly 8x smaller)
