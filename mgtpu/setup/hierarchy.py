@@ -426,7 +426,13 @@ def mg_setup(A_or_ctor, mesh: RegularMesh, cfg: MGConfig, relax_param=None,
             from ..ops.grid_stencil import grid_stencil_from_csr
             gs_f = _gs_cache.get(l)
             if gs_f is None:
-                gs_f = grid_stencil_from_csr(A_l, list(n + 1), device=False)
+                try:
+                    gs_f = grid_stencil_from_csr(A_l, list(n + 1),
+                                                 device=False)
+                except ValueError as e:
+                    raise ValueError(
+                        "transfer_type='semicoarsening' needs a grid-stencil "
+                        f"operator (strong-axis detection): {e}") from e
                 _gs_cache[l] = gs_f
             sc_axes = _semicoarsen_axes(gs_f)
             p1s, nc1s = [], []
