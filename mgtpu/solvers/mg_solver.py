@@ -128,6 +128,8 @@ def solve_mg(state: MGState, b, x=None, verbose: bool = False):
                   f"Convergence factor: {res / max(res_prev, 1e-300):.3f}")
         if res / max(res0, 1e-300) < cfg.relative_tol:
             break
+        if not np.isfinite(res) or res > 1e3 * max(res0, 1e-300):
+            break              # diverging (see the device-loop guards)
     state.n_iter += iters * nrhs
     state.time_solve += time.perf_counter() - t0
     x2 = to_flat(xv)
