@@ -241,10 +241,16 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
     with jax.named_scope(f"gmg_level{level}"):
         if f3 is not None:
             # fused 3D Pallas path: every sweep recomputes its residual
-            # inside one kernel pass (ops/pallas/fused3d.py)
-            for _ in range(cfg.nu_pre[level]):
+            # inside one kernel pass; the LAST pre-smooth sweep and the
+            # restrict-feed residual share a single double-apply pass
+            # (ops/pallas/fused3d.py)
+            for _ in range(cfg.nu_pre[level] - 1):
                 x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
-            r = f3k.residual3d(lvl.A, b, x, interpret=f3)
+            if cfg.nu_pre[level] > 0:
+                x, r = f3k.jacobi_residual3d(lvl.A, lvl.d, b, x,
+                                             interpret=f3)
+            else:
+                r = f3k.residual3d(lvl.A, b, x, interpret=f3)
         else:
             r = b - matvec(x)
             x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])

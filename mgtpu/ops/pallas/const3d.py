@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supports_const3d", "build_faces", "const3d_matvec_pallas"]
+__all__ = ["supports_const3d", "build_faces", "fx_narrow",
+           "const3d_matvec_pallas"]
 
 _BX = 8
 
@@ -62,14 +63,26 @@ def supports_const3d(offsets, grid, dtype) -> bool:
 
 def build_faces(coeff: np.ndarray, w: int):
     """Full-extent face coefficient arrays from the dense (nd, X, Y, Z)
-    host coefficients: (fx (nd, 2w, Y, Z), fy (nd, 2w, X, Z),
-    fz (nd, 2w, X, Y)); band axis second so it never lane-pads."""
-    fx = np.concatenate([coeff[:, :w], coeff[:, -w:]], axis=1)
+    host coefficients: (fx (nd, 4w, Y, Z), fy (nd, 2w, X, Z),
+    fz (nd, 2w, X, Y)); band axis second so it never lane-pads.
+
+    fx carries 2w planes per side (not w): the fused double-apply kernel
+    (fused3d.jacobi_residual3d) needs exact row taps on 2w planes — its
+    second apply reads the x-band-corrected smoother output one plane in.
+    Single-apply kernels slice the inner w planes via `fx_narrow`."""
+    fx = np.concatenate([coeff[:, :2 * w], coeff[:, -2 * w:]], axis=1)
     fy = np.moveaxis(np.concatenate([coeff[:, :, :w], coeff[:, :, -w:]],
                                     axis=2), 2, 1)
     fz = np.moveaxis(np.concatenate([coeff[:, :, :, :w], coeff[:, :, :, -w:]],
                                     axis=3), 3, 1)
     return fx, fy, fz
+
+
+def fx_narrow(fx, w: int):
+    """First/last w rows of the (possibly 2w-per-side) fx tap grid."""
+    if fx.shape[1] == 2 * w:
+        return fx
+    return jnp.concatenate([fx[:, :w], fx[:, -w:]], axis=1)
 
 
 def _interior_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref,
@@ -81,8 +94,11 @@ def _interior_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref,
     i = pl.program_id(0)
     cur = x0_ref[:]                                     # (BX, Y, Z)
     Y, Z = cur.shape[1], cur.shape[2]
-    top = jnp.where(i > 0, xm_ref[_BX - 1:_BX], jnp.zeros_like(cur[:1]))
-    bot = jnp.where(i < nb - 1, xp_ref[:1], jnp.zeros_like(cur[:1]))
+    # xm/xp are SINGLE-plane halo blocks (not full neighbor blocks): the
+    # radius-1 x taps need one plane each side, so loading (1, Y, Z) slabs
+    # cuts the kernel's x reads from 3x the field to ~1.25x.
+    top = jnp.where(i > 0, xm_ref[:], jnp.zeros_like(cur[:1]))
+    bot = jnp.where(i < nb - 1, xp_ref[:], jnp.zeros_like(cur[:1]))
     planes = {
         -1: jnp.concatenate([top, cur[:-1]], axis=0),   # x[i-1]
         0: cur,
@@ -208,12 +224,15 @@ def _matvec_one(const, fx, fy, fz, x, offsets, w, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(jnp.maximum(i - 1, 0)), 0, 0),
+                pl.BlockSpec((1, Y, Z),
+                             lambda i: (jnp.int32(jnp.maximum(i * _BX - 1, 0)),
+                                        0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(jnp.minimum(i + 1,
-                                                                 nb - 1)), 0, 0),
+                pl.BlockSpec((1, Y, Z),
+                             lambda i: (jnp.int32(jnp.minimum(i * _BX + _BX,
+                                                              Xp - 1)), 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
@@ -225,7 +244,7 @@ def _matvec_one(const, fx, fy, fz, x, offsets, w, interpret):
     y = y[:X]
 
     zf = jnp.zeros_like(x)
-    y = _apply_xband(y, x, zf, zf, fx.reshape(nd, 2 * w, Y, Z), offsets, w,
+    y = _apply_xband(y, x, zf, zf, fx_narrow(fx, w), offsets, w,
                      "matvec", interpret)
     return y
 

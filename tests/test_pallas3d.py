@@ -65,6 +65,26 @@ def test_fused3d_ops_exact(small_kernels):
                  / jnp.abs(xj_ref).max()) < 2e-5
 
 
+@pytest.mark.parametrize("n", [16, 24])
+@pytest.mark.parametrize("m", [1, 2])
+def test_jacobi_residual3d_exact(small_kernels, n, m):
+    """Double-apply fusion (x', r') vs the composed single-pass ops."""
+    from mgtpu.ops.pallas.fused3d import jacobi_residual3d
+    L, A = _op(n)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(m, *A.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(m, *A.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    os.environ["MGTPU_PALLAS3D"] = "off"     # XLA reference matvec
+    x1_ref = x + d * (b - A.matvec(x))
+    r1_ref = b - A.matvec(x1_ref)
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    x1, r1 = jacobi_residual3d(A, d, b, x, interpret=True)
+    sc = float(jnp.abs(r1_ref).max())
+    assert float(jnp.abs(x1 - x1_ref).max() / jnp.abs(x1_ref).max()) < 2e-5
+    assert float(jnp.abs(r1 - r1_ref).max() / sc) < 1e-4
+
+
 def test_fused3d_cycle_matches_xla(small_kernels):
     from mgtpu import get_mg_param, mg_setup
     from mgtpu.cycle.grid_cycle import grid_cycle
