@@ -16,10 +16,16 @@ reports the speedup against the numerically identical V-cycle executed with
 scipy CSR matvecs on this machine's CPU — the reference's own platform class
 (an OpenMP CPU solver).
 
+Fault isolation (VERDICT r2 item 2): every metric section runs inside
+try/except; a failure records the exception under detail.errors and the
+section's metrics stay null — the JSON line is ALWAYS printed and the
+process exits 0 unless the interpreter itself dies.
+
 Prints exactly one JSON line.
 """
 import json
 import time
+import traceback
 
 import numpy as np
 
@@ -93,6 +99,22 @@ def main():
 
     def left():
         return budget - (time.perf_counter() - T0)
+
+    errors = {}
+    R = {}            # section results; missing key -> metric stays null
+
+    def section(name, fn, min_left=0.0):
+        """Run one metric section with fault isolation (VERDICT r2 #2)."""
+        if min_left and left() < min_left:
+            return False
+        try:
+            fn()
+            return True
+        except Exception:                          # noqa: BLE001
+            tb = traceback.format_exc().strip().split("\n")
+            errors[name] = " | ".join(tb[-2:])[-400:]
+            return False
+
     # the refinement metric needs REAL float64 residuals (without x64, f64
     # casts silently stay f32 and the 1e-8 claim would be fiction)
     jax.config.update("jax_enable_x64", True)
@@ -105,115 +127,139 @@ def main():
     n = 1024
     levels = 6
     dtype = np.float32
-    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
-    L = nodal_laplacian_matrix(M)
-    L = (L + 1e-4 * abs(L).sum(axis=0).max() * sp.identity(L.shape[0])).tocsr()
-    cfg, rp = get_mg_param(levels=levels, max_outer_iter=20,
-                           relative_tol=1e-6, relax_type="jacobi",
-                           relax_param=0.8, nu_pre=1, nu_post=1, dtype=dtype)
-    # setup cost: report the min over 3 calls (steady state — the jInv
-    # workflow re-setups per inversion iteration, MGsetup.jl:226-270; one-time
-    # XLA compiles land in the persistent cache, and this shared rig's
-    # first-touch timings vary by 3-10x run to run).  Cold first call kept as
-    # a detail.
-    t0 = time.perf_counter()
-    state = mg_setup(L, M, cfg, rp)
-    setup2_cold = time.perf_counter() - t0
-    setup2 = setup2_cold
-    t0 = time.perf_counter()
-    state = mg_setup(L, M, cfg, rp)
-    setup2 = min(setup2, time.perf_counter() - t0)
-    # replace-matrix (same pattern, new values): the steady-state jInv cost
-    from mgtpu import replace_matrix_in_hierarchy
-    L_alt = (1.7 * L).tocsr()
-    replace_s = None
-    # sequence ends on L so the state solves the ORIGINAL operator again
-    for A_new in (L_alt, L, L_alt, L):
-        t0 = time.perf_counter()
-        replace_matrix_in_hierarchy(state, A_new)
-        dt = time.perf_counter() - t0
-        replace_s = dt if replace_s is None else min(replace_s, dt)
-    nnz_total = sum(a.nnz for a in state.As)
-
     rng = np.random.RandomState(0)
-    b64 = L @ rng.rand(L.shape[0])
-    b64 /= np.linalg.norm(b64)
-    b = jnp.asarray(b64.astype(dtype))[:, None]
-    x0 = jnp.zeros_like(b)
 
-    # grid engine: time on grid-form fields, the layout the solve loop uses
-    from mgtpu.cycle.grid_cycle import grid_cycle
-    from mgtpu.ops.grid_stencil import flat_to_grid
-    bg = flat_to_grid(b, state.hier.fine_grid)
-    dev_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
-                          state.hier, bg, jnp.zeros_like(bg))
-
-    # numerical check: relres after 20 cycles
-    cyc = make_cycle_fn(cfg)
-    x = x0
-    for _ in range(20):
-        x = cyc(state.hier, b, x)
-    relres = float(np.linalg.norm(
-        b64 - L.astype(np.float64) @ np.asarray(x[:, 0], dtype=np.float64)))
-
-    # time-to-1e-8: mixed-precision iterative refinement around the f32 cycle
-    # (BASELINE.md end-to-end protocol).  The residual runs in double-single
-    # (two-float32) compensated arithmetic (ops/df32.py) — TPUs emulate f64
-    # ~5x slower than f32, and the df32 residual carries ~1e-13 accuracy, so
-    # the 1e-8 claim is certified against the ORIGINAL f64 operator.
-    from mgtpu.solvers.mg_solver import solve_mg_refined, _df32_residual_op
-    from mgtpu.ops.df32 import df_residual, df_accumulate
-    dfA = _df32_residual_op(state)
-    b_hi = bg
-    b_lo = jnp.asarray(
-        (np.asarray(bg, np.float64)
-         - np.asarray(bg, np.float64).astype(np.float32)).astype(np.float32))
-
-    def refined_iter(h, bb, carry):
-        xh, xl, rh = carry
-        z = grid_cycle(cfg, h, rh, jnp.zeros_like(rh))
-        xh, xl = df_accumulate(xh, xl, z)
-        rh, _ = df_residual(dfA, bb, b_lo, xh, xl)
-        return (xh, xl, rh)
-
-    z0 = jnp.zeros_like(bg)
-    refined_ms = _chain_timer(refined_iter, state.hier, b_hi,
-                              (z0, z0, b_hi), ks=(2, 22), reps=3)
-    xr, rinfo = solve_mg_refined(state, b64, tol=1e-8)
-    iters_1e8 = int(rinfo["iters"])
-    # certify: true residual of the returned iterate vs the f64 operator
-    true_rr = float(np.linalg.norm(
-        b64 - state.A_input.astype(np.float64) @ np.asarray(xr, np.float64)))
-
-    # Chebyshev(3) V(1,0) smoothing: a TPU-first smoother (no dot products,
-    # fixed linear operator); the best measured time-to-1e-8 configuration
-    # (r2 sweep: cheb3 V(1,0) 1.95 ms < jacobi V(2,1) 2.23 < cheb2 V(1,1)
-    # 2.5-2.8 on this problem)
-    cfg_c, rp_c = get_mg_param(levels=levels, relax_type="chebyshev",
-                               cheby_degree=3, nu_pre=1, nu_post=0,
+    def sec_setup2d():
+        M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+        L = nodal_laplacian_matrix(M)
+        L = (L + 1e-4 * abs(L).sum(axis=0).max()
+             * sp.identity(L.shape[0])).tocsr()
+        cfg, rp = get_mg_param(levels=levels, max_outer_iter=20,
+                               relative_tol=1e-6, relax_type="jacobi",
+                               relax_param=0.8, nu_pre=1, nu_post=1,
                                dtype=dtype)
-    st_c = mg_setup(L, M, cfg_c, rp_c)
-    dfA_c = _df32_residual_op(st_c)
-    gh_c = st_c.hier
+        # setup cost: min over calls (steady state — the jInv workflow
+        # re-setups per inversion iteration, MGsetup.jl:226-270; one-time XLA
+        # compiles land in the persistent cache, and this shared rig's
+        # first-touch timings vary by 3-10x run to run).
+        t0 = time.perf_counter()
+        state = mg_setup(L, M, cfg, rp)
+        R["setup2_cold"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = mg_setup(L, M, cfg, rp)
+        R["setup2"] = min(R["setup2_cold"], time.perf_counter() - t0)
+        R.update(M=M, L=L, cfg=cfg, state=state)
 
-    def refined_iter_c(h, bb, carry):
-        xh, xl, rh = carry
-        z = grid_cycle(cfg_c, h, rh, jnp.zeros_like(rh))
-        xh, xl = df_accumulate(xh, xl, z)
-        rh, _ = df_residual(dfA_c, bb, b_lo, xh, xl)
-        return (xh, xl, rh)
+    def sec_replace():
+        from mgtpu import replace_matrix_in_hierarchy
+        state, L = R["state"], R["L"]
+        L_alt = (1.7 * L).tocsr()
+        replace_s = None
+        # sequence ends on L so the state solves the ORIGINAL operator again
+        for A_new in (L_alt, L, L_alt, L):
+            t0 = time.perf_counter()
+            replace_matrix_in_hierarchy(state, A_new)
+            dt = time.perf_counter() - t0
+            replace_s = dt if replace_s is None else min(replace_s, dt)
+        R["replace_s"] = replace_s
 
-    refined_c_ms = _chain_timer(refined_iter_c, gh_c, b_hi,
-                                (z0, z0, b_hi), ks=(2, 22), reps=3)
-    xc_r, cinfo = solve_mg_refined(st_c, b64, tol=1e-8)
-    iters_c = int(cinfo["iters"])
-    true_rr_c = float(np.linalg.norm(
-        b64 - st_c.A_input.astype(np.float64) @ np.asarray(xc_r, np.float64)))
+    def sec_headline():
+        from mgtpu.cycle.grid_cycle import grid_cycle
+        from mgtpu.ops.grid_stencil import flat_to_grid
+        state, L, cfg = R["state"], R["L"], R["cfg"]
+        b64 = L @ rng.rand(L.shape[0])
+        b64 /= np.linalg.norm(b64)
+        b = jnp.asarray(b64.astype(dtype))[:, None]
+        bg = flat_to_grid(b, state.hier.fine_grid)
+        R.update(b64=b64, b=b, bg=bg, grid_cycle=grid_cycle,
+                 flat_to_grid=flat_to_grid)
+        R["dev_ms"] = _chain_timer(
+            lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+            state.hier, bg, jnp.zeros_like(bg))
 
-    # mixed-elasticity Vanka cycle (systems grid engine), the reference's
-    # hardest smoother path (testGMGRAPforElasticityVanka workload)
-    vanka_ms = None
-    if left() > 120:
+    def sec_relres():
+        state, cfg, b, b64, L = (R["state"], R["cfg"], R["b"], R["b64"],
+                                 R["L"])
+        cyc = make_cycle_fn(cfg)
+        x = jnp.zeros_like(b)
+        for _ in range(20):
+            x = cyc(state.hier, b, x)
+        R["relres"] = float(np.linalg.norm(
+            b64 - L.astype(np.float64)
+            @ np.asarray(x[:, 0], dtype=np.float64)))
+
+    def sec_refined():
+        # time-to-1e-8: mixed-precision iterative refinement around the f32
+        # cycle (BASELINE.md end-to-end protocol).  The residual runs in
+        # double-single (two-float32) compensated arithmetic (ops/df32.py) —
+        # TPUs emulate f64 ~5x slower than f32, and the df32 residual carries
+        # ~1e-13 accuracy, so the 1e-8 claim is certified against the
+        # ORIGINAL f64 operator.
+        from mgtpu.solvers.mg_solver import solve_mg_refined, \
+            _df32_residual_op
+        from mgtpu.ops.df32 import df_residual, df_accumulate
+        state, cfg, bg, b64 = R["state"], R["cfg"], R["bg"], R["b64"]
+        grid_cycle = R["grid_cycle"]
+        dfA = _df32_residual_op(state)
+        b_lo = jnp.asarray(
+            (np.asarray(bg, np.float64)
+             - np.asarray(bg, np.float64).astype(np.float32))
+            .astype(np.float32))
+        R["b_lo"] = b_lo
+
+        def refined_iter(h, bb, carry):
+            xh, xl, rh = carry
+            z = grid_cycle(cfg, h, rh, jnp.zeros_like(rh))
+            xh, xl = df_accumulate(xh, xl, z)
+            rh, _ = df_residual(dfA, bb, b_lo, xh, xl)
+            return (xh, xl, rh)
+
+        z0 = jnp.zeros_like(bg)
+        R["z0"] = z0
+        R["refined_ms"] = _chain_timer(refined_iter, state.hier, bg,
+                                       (z0, z0, bg), ks=(2, 22), reps=3)
+        xr, rinfo = solve_mg_refined(state, b64, tol=1e-8)
+        R["iters_1e8"] = int(rinfo["iters"])
+        # certify: true residual of the returned iterate vs the f64 operator
+        R["true_rr"] = float(np.linalg.norm(
+            b64 - state.A_input.astype(np.float64)
+            @ np.asarray(xr, np.float64)))
+
+    def sec_cheb():
+        # Chebyshev(3) V(1,0) smoothing: a TPU-first smoother (no dot
+        # products, fixed linear operator); best measured time-to-1e-8 config
+        # (r2 sweep: cheb3 V(1,0) 1.95 ms < jacobi V(2,1) 2.23 < cheb2
+        # V(1,1) 2.5-2.8 on this problem)
+        from mgtpu.solvers.mg_solver import solve_mg_refined, \
+            _df32_residual_op
+        from mgtpu.ops.df32 import df_residual, df_accumulate
+        L, M, bg, b64, b_lo, z0 = (R["L"], R["M"], R["bg"], R["b64"],
+                                   R["b_lo"], R["z0"])
+        grid_cycle = R["grid_cycle"]
+        cfg_c, rp_c = get_mg_param(levels=levels, relax_type="chebyshev",
+                                   cheby_degree=3, nu_pre=1, nu_post=0,
+                                   dtype=dtype)
+        st_c = mg_setup(L, M, cfg_c, rp_c)
+        dfA_c = _df32_residual_op(st_c)
+
+        def refined_iter_c(h, bb, carry):
+            xh, xl, rh = carry
+            z = grid_cycle(cfg_c, h, rh, jnp.zeros_like(rh))
+            xh, xl = df_accumulate(xh, xl, z)
+            rh, _ = df_residual(dfA_c, bb, b_lo, xh, xl)
+            return (xh, xl, rh)
+
+        R["refined_c_ms"] = _chain_timer(refined_iter_c, st_c.hier, bg,
+                                         (z0, z0, bg), ks=(2, 22), reps=3)
+        xc_r, cinfo = solve_mg_refined(st_c, b64, tol=1e-8)
+        R["iters_c"] = int(cinfo["iters"])
+        R["true_rr_c"] = float(np.linalg.norm(
+            b64 - st_c.A_input.astype(np.float64)
+            @ np.asarray(xc_r, np.float64)))
+
+    def sec_vanka():
+        # mixed-elasticity Vanka cycle (systems grid engine), the reference's
+        # hardest smoother path (testGMGRAPforElasticityVanka workload)
         from mgtpu.cycle.systems_grid import (SystemsGridHierarchy,
                                               systems_grid_cycle,
                                               block_to_fields)
@@ -231,15 +277,15 @@ def main():
         assert isinstance(st_e.hier, SystemsGridHierarchy)
         be = block_to_fields(jnp.asarray(
             rng.rand(Ae.shape[0], 1).astype(dtype)), st_e.hier.fine_grids)
-        vanka_ms = _chain_timer(
+        R["vanka_ms"] = _chain_timer(
             lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
             st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
 
-    # structured SA-AMG on rough coefficients (the reference's headline AMG)
-    sa_ms = None
-    if left() > 120:
+    def sec_sa():
+        # structured SA-AMG on rough coefficients (reference headline AMG)
         from mgtpu.setup.sa_amg import sa_amg_setup
         from mgtpu.models.operators import nodal_div_sig_grad_matrix
+        grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
         Ms = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
         sig = np.exp(rng.randn(512 * 512))
         As = nodal_div_sig_grad_matrix(Ms, sig)
@@ -249,13 +295,14 @@ def main():
         st_s = sa_amg_setup(As, cfg_s, rp_s, mesh=Ms)
         bs = flat_to_grid(jnp.asarray(
             rng.rand(As.shape[0], 1).astype(dtype)), st_s.hier.fine_grid)
-        sa_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
-                             st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
+        R["sa_ms"] = _chain_timer(
+            lambda h, bb, xx: grid_cycle(cfg_s, h, bb, xx),
+            st_s.hier, bs, jnp.zeros_like(bs), ks=(2, 22))
 
-    # 3D Poisson 128^3 (BASELINE protocol: 2D AND 3D end-to-end)
-    cycle3_ms = mv3_ms = gnnz3 = setup3 = setup3_cold = None
-    rinfo3 = None
-    if left() > 120:
+    def sec_3d():
+        # 3D Poisson 128^3 (BASELINE protocol: 2D AND 3D end-to-end)
+        from mgtpu.solvers.mg_solver import solve_mg_refined
+        grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
         M3 = get_regular_mesh([0.0, 1.0] * 3, [128, 128, 128])
         L3 = nodal_laplacian_matrix(M3)
         L3 = (L3 + 1e-4 * abs(L3).sum(axis=0).max()
@@ -265,99 +312,130 @@ def main():
                                  dtype=dtype)
         t0 = time.perf_counter()
         st3 = mg_setup(L3, M3, cfg3, rp3)
-        setup3_cold = time.perf_counter() - t0
-        setup3 = setup3_cold
+        R["setup3_cold"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         st3 = mg_setup(L3, M3, cfg3, rp3)
-        setup3 = min(setup3, time.perf_counter() - t0)
+        R["setup3"] = min(R["setup3_cold"], time.perf_counter() - t0)
         bg3 = flat_to_grid(jnp.asarray(
             rng.rand(L3.shape[0], 1).astype(dtype)), st3.hier.fine_grid)
-        cycle3_ms = _chain_timer(
+        R["cycle3_ms"] = _chain_timer(
             lambda h, bb, xx: grid_cycle(cfg3, h, bb, xx),
             st3.hier, bg3, jnp.zeros_like(bg3), ks=(2, 22), reps=2)
         b3_64 = L3 @ rng.rand(L3.shape[0])
         b3_64 /= np.linalg.norm(b3_64)
         _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
+        R["iters3_1e8"] = int(rinfo3["iters"])
         # 3D fine-level SpMV throughput (the one-pass Pallas kernel); the
         # rescale keeps the chained iterates finite (||A|| ~ 1e5 here)
         sc3 = np.float32(1.0 / abs(L3).sum(axis=0).max())
-        mv3_ms = _chain_timer(
+        R["mv3_ms"] = _chain_timer(
             lambda h, bb, xx: sc3 * h.levels[0].A.matvec(xx),
             st3.hier, bg3, bg3, ks=(2, 22), reps=2)
-        gnnz3 = st3.As[0].nnz * 1e3 / mv3_ms / 1e9
+        R["gnnz3"] = st3.As[0].nnz * 1e3 / R["mv3_ms"] / 1e9
 
-    # multi-RHS throughput (block cycles first-class, reference FGMRES.jl:51)
-    m8_ms = None
-    if left() > 60:
+    def sec_m8():
+        # multi-RHS throughput (block cycles first-class, ref FGMRES.jl:51)
+        grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
+        state, L, cfg = R["state"], R["L"], R["cfg"]
         bg8 = flat_to_grid(jnp.asarray(
             rng.rand(L.shape[0], 8).astype(dtype)), state.hier.fine_grid)
-        m8_ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
-                             state.hier, bg8, jnp.zeros_like(bg8),
-                             ks=(2, 22), reps=2)
+        R["m8_ms"] = _chain_timer(
+            lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+            state.hier, bg8, jnp.zeros_like(bg8), ks=(2, 22), reps=2)
 
-    # host (CPU, scipy CSR) baseline: same cycle, float32 — host-only, so
-    # it is immune to chip contention and always runs (vs_baseline needs it)
-    bh = b64.astype(dtype)[:, None]
-    xh = np.zeros_like(bh)
-    xh = _host_vcycle(state, bh, xh)   # warm (splu factor)
-    xh = np.zeros_like(bh)
-    t0 = time.perf_counter()
-    n_host = 3
-    for _ in range(n_host):
-        xh = _host_vcycle(state, bh, xh)
-    host_ms = (time.perf_counter() - t0) / n_host * 1e3
+    def sec_host():
+        # host (CPU, scipy CSR) baseline: same cycle, float32 — host-only, so
+        # it is immune to chip contention and always runs (vs_baseline)
+        state, b64 = R["state"], R["b64"]
+        bh = b64.astype(dtype)[:, None]
+        xh = np.zeros_like(bh)
+        xh = _host_vcycle(state, bh, xh)   # warm (splu factor)
+        xh = np.zeros_like(bh)
+        t0 = time.perf_counter()
+        n_host = 3
+        for _ in range(n_host):
+            xh = _host_vcycle(state, bh, xh)
+        R["host_ms"] = (time.perf_counter() - t0) / n_host * 1e3
 
-    # the flat (ELL/DIA) engine, for the record
-    flat_ms = None
-    if left() > 60:
+    def sec_flat():
+        # the flat (ELL/DIA) engine, for the record
+        L, M, b = R["L"], R["M"], R["b"]
         cfg_f, rp_f = get_mg_param(levels=levels, relax_type="jacobi",
                                    relax_param=0.8, nu_pre=1, nu_post=1,
                                    dtype=dtype, engine="flat")
         state_f = mg_setup(L, M, cfg_f, rp_f)
-        flat_ms = _chain_timer(
+        R["flat_ms"] = _chain_timer(
             lambda h, bb, xx: recursive_cycle(cfg_f, h, bb, xx),
-            state_f.hier, b, x0, ks=(2, 6), reps=2)
+            state_f.hier, b, jnp.zeros_like(b), ks=(2, 6), reps=2)
+
+    section("setup2d", sec_setup2d)
+    section("replace", sec_replace)
+    section("headline", sec_headline)
+    section("relres", sec_relres)
+    section("refined", sec_refined)
+    section("cheb", sec_cheb)
+    section("vanka", sec_vanka, min_left=120)
+    section("sa_amg", sec_sa, min_left=120)
+    section("poisson3d", sec_3d, min_left=120)
+    section("multirhs", sec_m8, min_left=60)
+    section("host_baseline", sec_host)
+    section("flat_engine", sec_flat, min_left=60)
 
     def r(v, nd=4):
         return None if v is None else round(v, nd)
 
+    g = R.get
+    dev_ms, host_ms = g("dev_ms"), g("host_ms")
+    state = g("state")
+    hier_nnz = (None if state is None
+                else int(sum(a.nnz for a in state.As)))
     result = {
         "metric": "poisson2d_1024_gmg_vcycle_time",
-        "value": round(dev_ms, 4),
+        "value": r(dev_ms),
         "unit": "ms",
-        "vs_baseline": round(host_ms / dev_ms, 2),
+        "vs_baseline": (None if dev_ms is None or host_ms is None
+                        else round(host_ms / dev_ms, 2)),
         "detail": {
             "device": str(jax.devices()[0]),
-            "engine": type(state.hier).__name__,
-            "fine_nnz": int(state.As[0].nnz),
-            "hierarchy_nnz": int(sum(a.nnz for a in state.As)),
-            "host_cpu_vcycle_ms": round(host_ms, 3),
-            "flat_engine_vcycle_ms": r(flat_ms, 3),
-            "relres_after_20_cycles": relres,
-            "elasticity_vanka_cycle_ms": r(vanka_ms),
-            "sa_amg_512_cycle_ms": r(sa_ms),
-            "refined_iter_ms": round(refined_ms, 4),
-            "iters_to_relres_1e-8": iters_1e8,
-            "time_to_1e-8_jacobi_ms": round(refined_ms * iters_1e8, 3),
-            "true_relres_f64_certified": float(f"{true_rr:.3e}"),
-            "cheb_refined_iter_ms": round(refined_c_ms, 4),
-            "cheb_iters_to_1e-8": iters_c,
-            "time_to_1e-8_ms": round(refined_c_ms * iters_c, 3),
-            "cheb_true_relres_f64": float(f"{true_rr_c:.3e}"),
-            "gnnz_per_s": round(sum(a.nnz for a in state.As)
-                                * 4 * 1e3 / dev_ms / 1e9, 2),
-            "poisson3d_128_vcycle_ms": r(cycle3_ms),
-            "poisson3d_matvec_ms": r(mv3_ms),
-            "poisson3d_gnnz_per_s": r(gnnz3, 2),
-            "poisson3d_iters_to_1e-8": (None if rinfo3 is None
-                                        else int(rinfo3["iters"])),
-            "vcycle_8rhs_ms_per_rhs": r(None if m8_ms is None else m8_ms / 8),
-            "setup_2d_1024_s": round(setup2, 2),
-            "setup_3d_128_s": r(setup3, 2),
-            "setup_2d_cold_s": round(setup2_cold, 2),
-            "setup_3d_cold_s": r(setup3_cold, 2),
-            "replace_matrix_s": round(replace_s, 3),
+            "engine": None if state is None else type(state.hier).__name__,
+            "fine_nnz": None if state is None else int(state.As[0].nnz),
+            "hierarchy_nnz": hier_nnz,
+            "host_cpu_vcycle_ms": r(host_ms, 3),
+            "flat_engine_vcycle_ms": r(g("flat_ms"), 3),
+            "relres_after_20_cycles": g("relres"),
+            "elasticity_vanka_cycle_ms": r(g("vanka_ms")),
+            "sa_amg_512_cycle_ms": r(g("sa_ms")),
+            "refined_iter_ms": r(g("refined_ms")),
+            "iters_to_relres_1e-8": g("iters_1e8"),
+            "time_to_1e-8_jacobi_ms":
+                (None if g("refined_ms") is None or g("iters_1e8") is None
+                 else round(R["refined_ms"] * R["iters_1e8"], 3)),
+            "true_relres_f64_certified":
+                (None if g("true_rr") is None
+                 else float(f"{R['true_rr']:.3e}")),
+            "cheb_refined_iter_ms": r(g("refined_c_ms")),
+            "cheb_iters_to_1e-8": g("iters_c"),
+            "time_to_1e-8_ms":
+                (None if g("refined_c_ms") is None or g("iters_c") is None
+                 else round(R["refined_c_ms"] * R["iters_c"], 3)),
+            "cheb_true_relres_f64":
+                (None if g("true_rr_c") is None
+                 else float(f"{R['true_rr_c']:.3e}")),
+            "gnnz_per_s": (None if dev_ms is None or hier_nnz is None
+                           else round(hier_nnz * 4 * 1e3 / dev_ms / 1e9, 2)),
+            "poisson3d_128_vcycle_ms": r(g("cycle3_ms")),
+            "poisson3d_matvec_ms": r(g("mv3_ms")),
+            "poisson3d_gnnz_per_s": r(g("gnnz3"), 2),
+            "poisson3d_iters_to_1e-8": g("iters3_1e8"),
+            "vcycle_8rhs_ms_per_rhs": r(None if g("m8_ms") is None
+                                        else R["m8_ms"] / 8),
+            "setup_2d_1024_s": r(g("setup2"), 2),
+            "setup_3d_128_s": r(g("setup3"), 2),
+            "setup_2d_cold_s": r(g("setup2_cold"), 2),
+            "setup_3d_cold_s": r(g("setup3_cold"), 2),
+            "replace_matrix_s": r(g("replace_s"), 3),
             "bench_wall_s": round(time.perf_counter() - T0, 1),
+            "errors": errors or None,
             # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
             # (the reference's platform class is an OpenMP CPU solver; an
             # 8-thread comparator would be roughly 8x smaller)

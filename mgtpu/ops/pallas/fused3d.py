@@ -182,7 +182,11 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
     lo = {-1: xm2, 0: xm1, 1: cur[:1]}                  # taps for plane iB-1
     hi = {-1: cur[B - 1:], 0: xp1, 1: xp2}              # taps for plane iB+B
 
-    def _accum(planes_of, fy_of, fz_of, n):
+    def _accum(planes_of, ytap, ztap, n):
+        # ytap(k) -> (ylo_c, yhi_c) each (n, w, Z); ztap(k) -> (zlo_c,
+        # zhi_c) each (n, Y, w).  Pre-shaped by the caller so halo slabs
+        # (stored x-leading for Mosaic block tiling) need no in-kernel
+        # transposes.
         acc = jnp.zeros((n, Y, Z), cur.dtype)
         zlo = jnp.zeros((n, Y, w), cur.dtype)
         zhi = jnp.zeros((n, Y, w), cur.dtype)
@@ -191,11 +195,31 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
         for k, (dx, dy, dz) in enumerate(offsets):
             p = _roll_yz(planes_of(dx, k), dy, dz, Y, Z)
             acc = acc + c_ref[k] * p
-            zlo = zlo + p[:, :, :w] * jnp.moveaxis(fz_of(k)[:w], 0, 2)
-            zhi = zhi + p[:, :, Z - w:] * jnp.moveaxis(fz_of(k)[w:], 0, 2)
-            ylo = ylo + p[:, :w, :] * jnp.moveaxis(fy_of(k)[:w], 0, 1)
-            yhi = yhi + p[:, Y - w:, :] * jnp.moveaxis(fy_of(k)[w:], 0, 1)
+            zlo_c, zhi_c = ztap(k)
+            ylo_c, yhi_c = ytap(k)
+            zlo = zlo + p[:, :, :w] * zlo_c
+            zhi = zhi + p[:, :, Z - w:] * zhi_c
+            ylo = ylo + p[:, :w, :] * ylo_c
+            yhi = yhi + p[:, Y - w:, :] * yhi_c
         return acc, zlo, zhi, ylo, yhi
+
+    def _tap_main_y(ref):
+        # main fy block: ref[k] is (2w, B, Z) -> pair of (B, w, Z)
+        return lambda k: (jnp.moveaxis(ref[k][:w], 0, 1),
+                          jnp.moveaxis(ref[k][w:], 0, 1))
+
+    def _tap_main_z(ref):
+        # main fz block: ref[k] is (2w, B, Y) -> pair of (B, Y, w)
+        return lambda k: (jnp.moveaxis(ref[k][:w], 0, 2),
+                          jnp.moveaxis(ref[k][w:], 0, 2))
+
+    def _tap_halo_y(ref):
+        # x-leading slab (1, nd, 2w, Z): ref[0, k] is (2w, Z) -> (1, w, Z)
+        return lambda k: (ref[0, k][:w][None], ref[0, k][w:][None])
+
+    def _tap_halo_z(ref):
+        # x-leading slab (1, nd, Y, 2w): ref[0, k] is (Y, 2w) -> (1, Y, w)
+        return lambda k: (ref[0, k][:, :w][None], ref[0, k][:, w:][None])
 
     def _store(ref, a, b2, parts):
         # static slice bounds only — Mosaic lowers static partial stores
@@ -209,13 +233,13 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
     # stage A: band-corrected A x on planes [iB-1, iB+B]
     _store(ax_ref, 1, B + 1,
            _accum(lambda dx, k: planes[dx],
-                  lambda k: fy_ref[k], lambda k: fz_ref[k], B))
+                  _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
     _store(ax_ref, 0, 1,
            _accum(lambda dx, k: lo[dx],
-                  lambda k: fym_ref[k], lambda k: fzm_ref[k], 1))
+                  _tap_halo_y(fym_ref), _tap_halo_z(fzm_ref), 1))
     _store(ax_ref, B + 1, B + 2,
            _accum(lambda dx, k: hi[dx],
-                  lambda k: fyp_ref[k], lambda k: fzp_ref[k], 1))
+                  _tap_halo_y(fyp_ref), _tap_halo_z(fzp_ref), 1))
     xe = jnp.concatenate([xm1, cur, xp1], axis=0)       # (B+2, Y, Z)
     be = jnp.concatenate([bm, b_ref[:], bp], axis=0)
     de = jnp.concatenate([dm, d_ref[:], dp], axis=0)
@@ -226,7 +250,7 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
     x1e = x1s_ref[:]
     _store(ax_ref, 1, B + 1,
            _accum(lambda dx, k: x1e[1 + dx:1 + dx + B],
-                  lambda k: fy_ref[k], lambda k: fz_ref[k], B))
+                  _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
     r1_ref[:] = b_ref[:] - ax_ref[1:B + 1]
 
 
@@ -246,8 +270,15 @@ def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
     plane = lambda f: pl.BlockSpec((1, Y, Z),
                                    lambda i: (jnp.int32(f(i)), 0, 0),
                                    memory_space=pltpu.VMEM)
+    # Halo face slabs are stored x-LEADING ((Xp, nd, 2w, Z) / (Xp, nd, Y,
+    # 2w)) so a one-plane block's last two dims equal the array dims —
+    # Mosaic rejects blocks whose second-to-last dim is 1 against a larger
+    # array dim (the r2 lowering failure; VERDICT r2 item 1).
     fslab = lambda m, f: pl.BlockSpec(
-        (nd, 2 * w, 1, m), lambda i: (0, 0, jnp.int32(f(i)), 0),
+        (1, nd, 2 * w, m), lambda i: (jnp.int32(f(i)), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    fslab_z = lambda m, f: pl.BlockSpec(
+        (1, nd, m, 2 * w), lambda i: (jnp.int32(f(i)), 0, 0, 0),
         memory_space=pltpu.VMEM)
     im1 = lambda i: jnp.maximum(i * _BX - 1, 0)
     im2 = lambda i: jnp.maximum(i * _BX - 2, 0)
@@ -255,6 +286,8 @@ def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
     ip2 = lambda i: jnp.minimum(i * _BX + _BX + 1, Xp - 1)
     fyq = jnp.pad(fy, ((0, 0), (0, 0), (0, Xp - X), (0, 0)))
     fzq = jnp.pad(fz, ((0, 0), (0, 0), (0, Xp - X), (0, 0)))
+    fyq_t = jnp.transpose(fyq, (2, 0, 1, 3))    # (Xp, nd, 2w, Z)
+    fzq_t = jnp.transpose(fzq, (2, 0, 3, 1))    # (Xp, nd, Y, 2w)
     with jax.enable_x64(False):       # see const3d: Mosaic x64 limitation
         x1k, r1k = pl.pallas_call(
             kern,
@@ -270,7 +303,7 @@ def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
                              lambda i: (0, 0, jnp.int32(i), 0),
                              memory_space=pltpu.VMEM),
                 fslab(Z, im1), fslab(Z, ip1),           # fy halo planes
-                fslab(Y, im1), fslab(Y, ip1),           # fz halo planes
+                fslab_z(Y, im1), fslab_z(Y, ip1),       # fz halo planes
                 plane(im2), plane(im1), blk(), plane(ip1), plane(ip2),
                 plane(im1), blk(), plane(ip1),          # b
                 plane(im1), blk(), plane(ip1),          # d
@@ -280,7 +313,7 @@ def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
                             pltpu.VMEM((_BX + 2, Y, Z), x.dtype)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
-        )(const, fyq, fzq, fyq, fyq, fzq, fzq,
+        )(const, fyq, fzq, fyq_t, fyq_t, fzq_t, fzq_t,
           xq, xq, xq, xq, xq, bq, bq, bq, dq, dq, dq)
     x1k, r1k = x1k[:X], r1k[:X]
 

@@ -195,9 +195,22 @@ class ShardedGridSolver:
         return matvec, prec
 
     def _solve_krylov(self, fn, b, x0, tol, max_iter, **kw):
+        import jax as _jax
         cfg = self.cfg
         bdt = np.asarray(b).dtype
         outer = bdt if np.issubdtype(bdt, np.floating) else cfg.dtype
+        # mixed-precision contract guard (ADVICE r2): with x64 disabled,
+        # jnp.asarray(..., float64) silently truncates to f32 and the
+        # "f64 outer Krylov" would be fiction (max_iter stalls, relres
+        # reported from f32 arithmetic).  Refuse rather than lie; the
+        # no-x64 path to true 1e-8 is solve_refined (df32 residuals).
+        if (np.dtype(outer) in (np.dtype(np.float64), np.dtype(np.complex128))
+                and not _jax.config.jax_enable_x64):
+            raise ValueError(
+                f"outer Krylov dtype {np.dtype(outer).name} needs jax x64 "
+                "(call mgtpu.enable_x64()), or use solve_refined() which "
+                "reaches true f64-certified tolerances without x64 via "
+                "compensated df32 residuals")
         bv, squeeze = self.to_grid(b, dtype=outer)
         xv = (jnp.zeros_like(bv) if x0 is None
               else self.to_grid(x0, dtype=outer)[0])

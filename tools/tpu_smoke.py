@@ -1,0 +1,176 @@
+"""TPU lowering gate: compile-and-run every Pallas kernel on the REAL chip.
+
+Interpret-mode tests check numerics, not Mosaic lowering constraints — the
+round-2 regression (fused3d `fslab` BlockSpec violating Mosaic tiling; see
+BENCH_r02.json) was invisible to the whole CPU test suite and crashed the
+bench.  This gate must be run on the real TPU before every end-of-round
+snapshot (rule recorded in CLAUDE.md):
+
+    python tools/tpu_smoke.py            # kernels + default 3D cycle config
+    python tools/tpu_smoke.py --fast     # kernels only (skip mg_setup)
+
+Exit code 0 = every kernel lowers AND executes on the chip; nonzero = at
+least one failed (each failure prints its exception).  Shapes are chosen to
+exercise the padding paths (odd extents -> lane/sublane padding) and the
+default-on dispatch thresholds (>= 2M nodes for const3d).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILED = []
+
+
+def gate(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                fn()
+                print(f"[tpu-smoke] PASS {name} ({time.time() - t0:.1f}s)",
+                      flush=True)
+            except Exception:                         # noqa: BLE001
+                FAILED.append(name)
+                print(f"[tpu-smoke] FAIL {name} ({time.time() - t0:.1f}s)",
+                      flush=True)
+                traceback.print_exc()
+        return run
+    return deco
+
+
+def _mk3d(X, Y, Z, w=1, seed=0):
+    from mgtpu.ops.pallas.const3d import build_faces
+    rng = np.random.default_rng(seed)
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    coeff = rng.standard_normal((len(offs), X, Y, Z)).astype(np.float32)
+    fx, fy, fz = build_faces(coeff, w)
+    const = coeff[:, X // 2, Y // 2, Z // 2].copy()
+    return offs, const, (fx, fy, fz), rng
+
+
+@gate("const3d_matvec")
+def smoke_const3d():
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    X = Y = Z = 129                       # pads X to 136; odd lanes
+    offs, const, faces, rng = _mk3d(X, Y, Z)
+    x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    y = const3d_matvec_pallas(jnp.asarray(const),
+                              tuple(map(jnp.asarray, faces)),
+                              np.array(offs), x, 1, interpret=False)
+    assert np.isfinite(float(jnp.sum(y)))
+
+
+@gate("fused3d_residual+jacobi")
+def smoke_fused3d():
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    X, Y, Z = 129, 136, 129
+    offs, const, faces, rng = _mk3d(X, Y, Z, seed=1)
+
+    class A:
+        pass
+    a = A()
+    a.const = jnp.asarray(const)
+    a.faces = tuple(map(jnp.asarray, faces))
+    a.offsets = np.array(offs)
+    a.boxes = [((0, 0, 0), (1, 1, 1))]
+    x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    r = f3k.residual3d(a, b, x, interpret=False)
+    x1 = f3k.jacobi3d(a, d, b, x, interpret=False)
+    assert np.isfinite(float(jnp.sum(r) + jnp.sum(x1)))
+
+
+@gate("fused3d_jacobi_residual")
+def smoke_jacres():
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    X, Y, Z = 129, 136, 129               # the exact r2-failing extents
+    offs, const, faces, rng = _mk3d(X, Y, Z, seed=2)
+
+    class A:
+        pass
+    a = A()
+    a.const = jnp.asarray(const)
+    a.faces = tuple(map(jnp.asarray, faces))
+    a.offsets = np.array(offs)
+    a.boxes = [((0, 0, 0), (1, 1, 1))]
+    x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    x1, r1 = f3k.jacobi_residual3d(a, d, b, x, interpret=False)
+    assert np.isfinite(float(jnp.sum(x1) + jnp.sum(r1)))
+
+
+@gate("stencil_kernel_2d")
+def smoke_stencil2d():
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas.stencil_kernel import stencil_matvec_pallas
+    rng = np.random.default_rng(3)
+    NJ, NI = 257, 257
+    di = (-1, 0, 1, -1, 0, 1, -1, 0, 1)
+    dj = (-1, -1, -1, 0, 0, 0, 1, 1, 1)
+    coeff = jnp.asarray(
+        rng.standard_normal((9, NJ, NI)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((NJ, NI)).astype(np.float32))
+    y = stencil_matvec_pallas(coeff, di, dj, x, interpret=False)
+    assert np.isfinite(float(jnp.sum(y)))
+
+
+@gate("default_3d_cycle_config")
+def smoke_cycle3d():
+    # the EXACT default TPU path users hit: 128^3 Poisson, grid engine,
+    # Jacobi V(1,1) -> jacobi_residual3d default-on (>= 2M nodes, f32)
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from mgtpu import get_mg_param, mg_setup, get_regular_mesh
+    from mgtpu.cycle.grid_cycle import grid_cycle
+    from mgtpu.ops.grid_stencil import flat_to_grid
+    from mgtpu.models.operators import nodal_laplacian_matrix
+    M3 = get_regular_mesh([0.0, 1.0] * 3, [128, 128, 128])
+    L3 = nodal_laplacian_matrix(M3)
+    L3 = (L3 + 1e-4 * abs(L3).sum(axis=0).max()
+          * sp.identity(L3.shape[0])).tocsr()
+    cfg3, rp3 = get_mg_param(levels=5, relax_type="jacobi", relax_param=0.8,
+                             nu_pre=1, nu_post=1, dtype=np.float32)
+    st3 = mg_setup(L3, M3, cfg3, rp3)
+    rng = np.random.RandomState(0)
+    bg3 = flat_to_grid(jnp.asarray(
+        rng.rand(L3.shape[0], 1).astype(np.float32)), st3.hier.fine_grid)
+    x = grid_cycle(cfg3, st3.hier, bg3, jnp.zeros_like(bg3))
+    assert np.isfinite(float(jnp.sum(x)))
+
+
+def main(argv):
+    import jax
+    backend = jax.default_backend()
+    print(f"[tpu-smoke] backend={backend} devices={jax.devices()}",
+          flush=True)
+    if backend in ("cpu", "gpu"):
+        print("[tpu-smoke] ERROR: not a TPU backend — this gate must run "
+              "on the real chip", flush=True)
+        return 2
+    smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_stencil2d]
+    if "--fast" not in argv:
+        smokes.append(smoke_cycle3d)
+    for s in smokes:
+        s()
+    if FAILED:
+        print(f"[tpu-smoke] FAILED: {FAILED}", flush=True)
+        return 1
+    print("[tpu-smoke] all kernels lower and run on the chip", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
