@@ -68,6 +68,53 @@ class IterativeCoarse:
         raise NotImplementedError("transpose the hierarchy instead")
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=[], meta_fields=["factor", "n", "dtype_name"])
+@dataclass(frozen=True)
+class SparseLUCoarse:
+    """Host sparse-LU coarsest solve through `jax.pure_callback`.
+
+    The reference factorises ANY coarsest size with UMFPACK — a host CPU
+    solve (reference src/Multigrid/MGsetup.jl:350, MGcycle.jl:146-150).
+    This is the same design point: when the coarsest level is too large for
+    a replicated dense inverse/LU (O(nc^2) device memory), the cycle calls
+    back to a scipy SuperLU factorization on the host.  One host round-trip
+    per cycle (~ms on a remote-attached rig) against an O(nnz) factor —
+    the escape hatch for AMG hierarchies that bottom out at 1e5 dofs.
+
+    solve(b): b is (n,) or (n, m) [flat engine convention].
+    """
+    factor: object          # scipy.sparse.linalg.SuperLU (f64/c128)
+    n: int
+    dtype_name: str
+
+    def _call(self, b: jax.Array, trans: str) -> jax.Array:
+        def cb(bh):
+            out = self.factor.solve(np.asarray(bh, self.factor.U.dtype),
+                                    trans=trans)
+            return out.astype(bh.dtype)
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(b.shape, b.dtype), b, vmap_method="sequential")
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        return self._call(b, "N")
+
+    def solve_adjoint(self, b: jax.Array) -> jax.Array:
+        return self._call(b, "H")
+
+
+def sparse_lu_from_scipy(A: sp.spmatrix, dtype=None) -> SparseLUCoarse:
+    """Factor A with SuperLU on the host (f64/c128 — scipy's splu types).
+
+    COLAMD ordering + partial pivoting; the factor stays host-side and the
+    device pays one callback round-trip per coarse solve."""
+    from scipy.sparse.linalg import splu
+    fdt = np.complex128 if np.iscomplexobj(A.data) else np.float64
+    fac = splu(A.tocsc().astype(fdt))
+    return SparseLUCoarse(fac, int(A.shape[0]),
+                          str(np.dtype(dtype or A.dtype)))
+
+
 def dense_lu_from_scipy(A: sp.spmatrix, dtype=None) -> DenseLU:
     """Factorize on the host (LAPACK getrf), ship L/U + pivots to the device.
 

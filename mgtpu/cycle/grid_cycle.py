@@ -68,7 +68,11 @@ class DenseInverse:
 
 @functools.partial(jax.jit, static_argnames=("n", "shift_rel"))
 def _dense_inverse_device(rows, cols, data, n, shift_rel):
-    """COO -> dense + relative diagonal shift + LU + invert, all on device.
+    """COO -> dense (+ optional relative diagonal shift) + LU + invert, all
+    on device.  Returns (inv, err): err is the max identity residual
+    |A inv - I| over a 256-column stride sample — the host uses it to decide
+    whether an UNSHIFTED inverse is trustworthy (ADVICE r2: the shift must
+    not perturb well-conditioned nonsingular coarsest operators).
 
     The inverse comes from lu_solve against the identity: the n-RHS
     triangular solves are blocked matmuls (MXU work, tens of ms at
@@ -77,27 +81,62 @@ def _dense_inverse_device(rows, cols, data, n, shift_rel):
     matmul on the SA-AMG 512^2 coarse level) — so the factorization is a
     setup-time device step and the cycle keeps the one-matmul solve."""
     Ad = jnp.zeros((n, n), dtype=data.dtype).at[rows, cols].add(data)
-    sh = shift_rel * jnp.max(jnp.sum(jnp.abs(Ad), axis=0))
-    Ad = Ad + sh * jnp.eye(n, dtype=Ad.dtype)
+    if shift_rel:
+        sh = shift_rel * jnp.max(jnp.sum(jnp.abs(Ad), axis=0))
+        Ad = Ad + sh * jnp.eye(n, dtype=Ad.dtype)
     lu, piv = jsl.lu_factor(Ad)
-    return jsl.lu_solve((lu, piv), jnp.eye(n, dtype=Ad.dtype))
+    inv = jsl.lu_solve((lu, piv), jnp.eye(n, dtype=Ad.dtype))
+    cols_s = jnp.arange(0, n, max(1, n // 256))
+    eye_s = (cols_s[None, :] == jnp.arange(n)[:, None]).astype(inv.dtype)
+    err = jnp.max(jnp.abs(Ad @ inv[:, cols_s] - eye_s))
+    return inv, err
 
 
 def grid_dense_inverse_from_scipy(A_c: sp.spmatrix, grid_c,
                                   dtype) -> DenseInverse:
-    """Device-built shifted dense inverse for large coarsest levels
-    (reference bar: UMFPACK factors ANY coarsest size, MGsetup.jl:350).
+    """Device-built dense inverse for large coarsest levels (reference bar:
+    UMFPACK factors ANY coarsest size, MGsetup.jl:350).
 
     No O(nc^3) host inversion (measured 7.2 s at nc = 4913 on the bench
-    host); the relative shift is the reference's AMG coarsest regularization
-    (SA-AMG.jl:63), widened to 1e-6 in single precision where a 1e-8
-    relative perturbation of the diagonal underflows f32 addition."""
+    host).  The plain inverse is tried first; only if its sampled identity
+    residual is non-finite or large (near-singular coarsest, e.g. a Neumann
+    constant nullspace) is the reference's AMG coarsest regularization
+    applied (SA-AMG.jl:63), widened to 1e-6 in single precision where a
+    1e-8 relative perturbation of the diagonal underflows f32 addition."""
     Ac = A_c.tocoo()
-    shift_rel = 1e-6 if np.finfo(np.dtype(dtype)).eps > 1e-10 else 1e-8
-    inv = _dense_inverse_device(jnp.asarray(Ac.row), jnp.asarray(Ac.col),
-                                jnp.asarray(Ac.data.astype(dtype)),
-                                int(A_c.shape[0]), shift_rel)
+    args = (jnp.asarray(Ac.row), jnp.asarray(Ac.col),
+            jnp.asarray(Ac.data.astype(dtype)))
+    n = int(A_c.shape[0])
+    inv, err = _dense_inverse_device(*args, n, 0.0)
+    tol = 1e-2 if np.finfo(np.dtype(dtype)).eps > 1e-10 else 1e-6
+    if not np.isfinite(float(err)) or float(err) > tol:
+        shift_rel = 1e-6 if np.finfo(np.dtype(dtype)).eps > 1e-10 else 1e-8
+        inv, _ = _dense_inverse_device(*args, n, shift_rel)
     return DenseInverse(inv, tuple(grid_c))
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=[], meta_fields=["factor", "grid"])
+@dataclass(frozen=True)
+class GridSparseLU:
+    """Host SuperLU coarsest solve, grid form (see cycle/coarse.py:
+    SparseLUCoarse — the reference's UMFPACK design point for coarsest
+    levels beyond the replicated-dense budget, MGsetup.jl:350)."""
+    factor: object          # scipy SuperLU (f64/c128)
+    grid: tuple[int, ...]
+
+    def solve(self, bg: jax.Array) -> jax.Array:
+        m = bg.shape[0]
+        bf = bg.reshape(m, -1)
+
+        def cb(bh):
+            out = self.factor.solve(
+                np.asarray(bh, self.factor.U.dtype).T).T
+            return out.astype(bh.dtype)
+        xf = jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(bf.shape, bf.dtype), bf,
+            vmap_method="sequential")
+        return xf.reshape((m,) + self.grid)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -374,7 +413,10 @@ def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
 _GRID_RELAX = ("jacobi", "spai", "jac-gmres", "chebyshev", "chebyshev4",
                "line-jacobi")
 _DENSE_INV_MAX = 16384
-_DENSE_LU_MAX = 32768
+_HOST_INV_MAX = 4096      # host f64 inverse (pinv-safe) below this
+# replicated-dense budget: 20480^2 f32 = 1.7 GB for the factor; the old
+# 32768 cap meant a 4.3 GB inverse with ~13 GB LU transients (ADVICE r2)
+_DENSE_LU_MAX = 20480
 
 
 def _checked_inverse(Ad: np.ndarray) -> np.ndarray:
@@ -493,7 +535,7 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
                           ).reshape(grid_c)
         coarse = GridIterativeCoarse(levels[-1].A, d_c,
                                      cfg.gmres_coarse_inner)
-    elif A_c.shape[0] <= 4096:
+    elif A_c.shape[0] <= _HOST_INV_MAX:
         # Invert at float64 on host, then cast (f64 factorization error is far
         # below the f32 storage rounding).  Neumann-type operators reach the
         # coarsest level exactly singular (constant nullspace); a plain
@@ -505,13 +547,14 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
         ).todense())
         inv = _checked_inverse(Ad)
         coarse = DenseInverse(jnp.asarray(inv.astype(cfg.dtype)), grid_c)
+    elif A_c.shape[0] > _DENSE_LU_MAX:
+        # beyond the replicated-dense budget (O(nc^2) device memory):
+        # host SuperLU behind the same solve() protocol
+        from scipy.sparse.linalg import splu
+        fdt = np.complex128 if np.iscomplexobj(A_c.data) else np.float64
+        coarse = GridSparseLU(splu(A_c.tocsc().astype(fdt)), tuple(grid_c))
     else:
-        if A_c.shape[0] > _DENSE_LU_MAX:
-            raise ValueError(
-                f"coarsest grid has {A_c.shape[0]} unknowns — too large for "
-                "a replicated dense factorization; use more levels or the "
-                "iterative coarse")
-        # large coarsest: device-built shifted inverse (LU + n-RHS solve on
+        # large coarsest: device-built inverse (LU + n-RHS solve on
         # the MXU) — no O(nc^3) host inversion
         coarse = grid_dense_inverse_from_scipy(A_c, grid_c, cfg.dtype)
     return GridHierarchy(tuple(levels), coarse)

@@ -490,12 +490,14 @@ class ConstGridStencil:
             x2 = x[:, None] if squeeze else x
             yg = const_grid_stencil_matvec(
                 self.const, self.strips, self.offsets, self.grid, self.boxes,
-                flat_to_grid(x2, self.grid), self.faces)
+                flat_to_grid(x2, self.grid), self.faces,
+                p3mode=_pallas3d_mode())
             y = grid_to_flat(yg)
             return y[:, 0] if squeeze else y
         return const_grid_stencil_matvec(self.const, self.strips,
                                          self.offsets, self.grid, self.boxes,
-                                         x, self.faces)
+                                         x, self.faces,
+                                         p3mode=_pallas3d_mode())
 
     def to_dense_stencil(self) -> GridStencil:
         nd = len(self.offsets)
@@ -573,9 +575,10 @@ def _pallas3d_mode() -> str:
     return "off" if jax.default_backend() in ("cpu", "gpu") else "on"
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "grid", "boxes"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "grid", "boxes", "p3mode"))
 def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x,
-                              faces=None):
+                              faces=None, p3mode=None):
     """y = A x for a constant-interior stencil; x is (..., *grid).
 
     The output is assembled from disjoint regions — two boundary slabs per
@@ -600,7 +603,10 @@ def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x,
     g = len(grid)
     nb = x.ndim - g
     dt = jnp.result_type(const, x)
-    mode = _pallas3d_mode()
+    # p3mode is a STATIC arg so the jit cache keys on it (toggling
+    # MGTPU_PALLAS3D between same-shape calls retraces; ADVICE r2); None
+    # (direct/internal callers) resolves at trace time as before.
+    mode = _pallas3d_mode() if p3mode is None else p3mode
     if g == 3 and mode != "off" and faces is not None:
         from .pallas.const3d import supports_const3d, const3d_matvec_pallas
         if supports_const3d(offsets, grid, dt):

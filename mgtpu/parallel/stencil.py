@@ -125,6 +125,14 @@ def stencil_matvec_overlapped(coeff_loc, di, dj, x_loc, axis_name: str):
     measure — deferred (ROADMAP).
     """
     S = coeff_loc.shape[1]
+    if S < 2:
+        # at S == 1 the edge-row windows below ([:2], [S-2:]) would read a
+        # duplicated local plane instead of the neighbor/zero halo —
+        # silently wrong edge rows (ADVICE r2).  Level plans keep slabs
+        # >= 2 planes (slab_coarsest); fall back to the fused exchange,
+        # which is correct for any S.
+        return stencil_matvec_local(coeff_loc, di, dj,
+                                    exchange_halo(x_loc, axis_name))
     ndev = jax.lax.axis_size(axis_name)
     down = [(i, i + 1) for i in range(ndev - 1)]
     up = [(i + 1, i) for i in range(ndev - 1)]

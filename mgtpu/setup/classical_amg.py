@@ -108,7 +108,13 @@ def cf_coloring_second_s(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
     """Alternative pass 2 minimising the coarse set (reference
     coloring.jl:169-257): instead of promoting the first endpoint of every
     uncovered strong F-F pair, repeatedly promote the F node covering the
-    MOST uncovered pairs until none remain."""
+    MOST uncovered pairs until none remain.
+
+    Precondition: S is structurally SYMMETRIC (strength_matrix_classical
+    guarantees this).  The incremental pair-count bookkeeping assumes
+    i in fconn[j] <=> j in fconn[i]; membership guards below keep the
+    counts consistent even if a caller passes an asymmetric S, at the cost
+    of treating one-directional pairs as covered early (ADVICE r2)."""
     n = S.shape[0]
     indptr, indices = S.indptr, S.indices
     coloring = np.asarray(coloring).copy()
@@ -146,9 +152,10 @@ def cf_coloring_second_s(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
             continue            # stale entry
         coloring[best] = 1
         for j in list(fconn[best]):
-            fconn[j].discard(best)
-            counts[j] -= 1
-            push(heap, j)
+            if best in fconn[j]:
+                fconn[j].discard(best)
+                counts[j] -= 1
+                push(heap, j)
         fconn[best].clear()
         counts[best] = 0
         # best is now a strong C neighbor of every F node in its row; pairs
@@ -161,11 +168,12 @@ def cf_coloring_second_s(S: sp.csr_matrix, coloring: np.ndarray) -> np.ndarray:
         for i2 in nbrs:
             for j2 in list(fconn[i2] & nbrset):
                 fconn[i2].discard(j2)
-                fconn[j2].discard(i2)
                 counts[i2] -= 1
-                counts[j2] -= 1
                 push(heap, i2)
-                push(heap, j2)
+                if i2 in fconn[j2]:       # asymmetric-S guard (ADVICE r2)
+                    fconn[j2].discard(i2)
+                    counts[j2] -= 1
+                    push(heap, j2)
     return coloring
 
 

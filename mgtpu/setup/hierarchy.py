@@ -38,6 +38,12 @@ from ..ops.dia import DIA, dia_from_scipy
 from ..ops.ell import ELL, ell_from_scipy
 from ..cycle.coarse import dense_lu_from_scipy, iterative_coarse_from_scipy
 from ..cycle.relax import DiagRelax
+
+# Replicated-dense coarsest budget: beyond this the L/U (or inverse) factor
+# alone is O(nc^2) device memory (20480^2 f32 = 1.7 GB; the old 70000 cap
+# would have shipped a 19.6 GB factor — ADVICE r2).  Larger coarsest levels
+# fall through to the host SuperLU callback (cycle/coarse.py:SparseLUCoarse).
+_DENSE_COARSE_MAX = 20480
 from . import transfers as tr
 from . import smoothers as sm
 
@@ -339,6 +345,15 @@ def _setup_coarse(state: MGState, verbose: bool = False):
         return iterative_coarse_from_scipy(A_c, omega,
                                            inner=cfg.gmres_coarse_inner,
                                            dtype=cfg.dtype)
+    if A_c.shape[0] > _DENSE_COARSE_MAX:
+        # beyond the replicated-dense budget: host sparse LU behind the same
+        # solve() protocol (the reference's UMFPACK design point,
+        # MGsetup.jl:350) — O(nnz) factor instead of O(nc^2) device memory
+        from ..cycle.coarse import sparse_lu_from_scipy
+        if verbose:
+            print(f"_setup_coarse: nc={A_c.shape[0]} > {_DENSE_COARSE_MAX}, "
+                  "using host SuperLU coarsest")
+        return sparse_lu_from_scipy(A_c, dtype=cfg.dtype)
     return dense_lu_from_scipy(A_c, dtype=cfg.dtype)
 
 
