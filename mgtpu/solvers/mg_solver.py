@@ -275,13 +275,9 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
     cd = np.dtype(cycle_dtype) if cycle_dtype is not None \
         else np.dtype(cfg.dtype)
     hier_lo = _cast_hier(hier, cd) if cd != np.dtype(cfg.dtype) else hier
-    if device_loop and cfg.cycle_type == "K" \
-            and jax.default_backend() != "cpu":
-        # toolchain workaround: XLA:TPU's TransposeFolding pass crashes
-        # (Check failed: buffer != nullptr) compiling a while_loop whose
-        # body contains the K-cycle's pinv; the K-cycle compiles fine as a
-        # standalone program, so run the refinement host-looped instead
-        device_loop = False
+    # (r2 workaround removed: the K-cycle projection is now a regularised
+    # Hermitian solve instead of pinv — cycle/relax.py — so the while_loop
+    # compiles on XLA:TPU and K-cycles refine as ONE device program.)
 
     to_internal, to_flat, cycle, _ = _cycle_runtime(cfg, hier)
     squeeze = np.ndim(b) == 1
