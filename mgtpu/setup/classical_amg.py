@@ -8,8 +8,9 @@ maximal-independent-set pass followed by the F-F-common-C enforcement pass
 positive/negative splitting (interpolation.jl:44-97).  Galerkin RAP with
 R = P^T and the same coarsest Tikhonov shift as SA-AMG.
 
-Setup runs once on host; a device Jones-Plassmann/PMIS coloring is the planned
-parallel variant (SURVEY.md §7 step 7).
+Setup runs once on host; the device-parallel PMIS splitting
+(coarsening="pmis", setup/device_agg.py) is the jitted alternative
+(SURVEY.md §7 step 7).
 """
 from __future__ import annotations
 
@@ -303,7 +304,8 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
 
     interpolation: "direct" (default; interpolation.jl:44-97) or "standard"
     (textbook; interpolation.jl:167-230).  coarsening: "common-c" (default
-    pass 2, coloring.jl:104-122) or "min-coarse" (coloring.jl:169-257)."""
+    pass 2, coloring.jl:104-122), "min-coarse" (coloring.jl:169-257), or
+    "pmis" (device-parallel PMIS splitting, setup/device_agg.py)."""
     t_all = time.perf_counter()
     A = sp.csr_matrix(A).astype(cfg.dtype)
     if cfg.relax_type not in ("jacobi", "jac-gmres", "spai"):
@@ -323,7 +325,13 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
         relax = _RelaxThunk(A_l, cfg, rp_arr[l], None)
         S = strength_matrix_classical(A_l, cfg.strong_conn_param)
         coloring = None
-        if coarsening == "common-c":
+        if coarsening == "pmis":
+            # device-parallel PMIS splitting (SURVEY §7 step 7): jitted
+            # fixed-point rounds, no host heap; every F node has a strong C
+            # neighbor by construction so no common-C pass is needed
+            from .device_agg import pmis_coloring
+            coloring = pmis_coloring(S)
+        elif coarsening == "common-c":
             from ..utils import native
             coloring = native.cf_coloring(S)
         if coloring is None:

@@ -11,8 +11,8 @@ implements the standard SA variant; see SURVEY.md item 2):
    affects the pass-3 affinity scores.
  * greedy neighborhood aggregation in three passes with hub-node deferral
    (degree > 3x average) and affinity-scored adoption of leftover nodes
-   (reference SA-AMG.jl:119-211).  Setup is one-time host work; a
-   device-parallel label-propagation variant is the planned optimisation.
+   (reference SA-AMG.jl:119-211) for small levels; large levels use the
+   device-parallel MIS-2 label-propagation kernel (setup/device_agg.py).
  * tentative prolongator P0 -> smoothed P = (I - (4/3 / rho) D A) P0 with
    D the level's diagonal preconditioner and rho estimated by
    min(opnorm_1, opnorm_inf) (reference SA-AMG.jl:44-47).
@@ -121,21 +121,39 @@ def aggregation_to_tentative_p(aggr: np.ndarray) -> sp.csr_matrix:
                          shape=(n, len(roots)))
 
 
-def get_aggregation(A: sp.spmatrix, theta: float) -> sp.csr_matrix:
+_DEVICE_AGG_MIN = 16384     # below this the host greedy is faster than a
+                            # device dispatch round-trip
+
+
+def get_aggregation(A: sp.spmatrix, theta: float,
+                    method: str = "auto") -> sp.csr_matrix:
     """P0, or identity when the level is too small to coarsen
     (reference SA-AMG.jl:78-86: n <= 100 stops).
 
-    Uses the native C++ aggregation kernel when built (mgtpu/native),
-    otherwise the numpy implementation — identical outputs.
+    method: "auto" uses the device-parallel MIS-2 label-propagation kernel
+    (setup/device_agg.py — jitted, no per-node loop; ~25% fewer cycles at
+    ~40% higher operator complexity, see its module docstring) on
+    TPU-class backends for large levels, and the greedy host path (native
+    C++ kernel when built, else numpy — identical outputs) otherwise;
+    "device" / "greedy" force a path.  MGTPU_AGG overrides for A/B runs.
     """
+    import os
+    import jax as _jax
     n = A.shape[0]
     if n <= 100:
         return sp.identity(n, format="csr")
     S = strength_matrix(A, theta)
-    from ..utils import native
-    aggr = native.aggregate(S)
-    if aggr is None:
-        aggr = neighborhood_aggregation(S)
+    method = os.environ.get("MGTPU_AGG", method).lower()
+    if method == "device" or (method == "auto" and n >= _DEVICE_AGG_MIN
+                              and _jax.default_backend()
+                              not in ("cpu", "gpu")):
+        from .device_agg import device_aggregation
+        aggr = device_aggregation(S)
+    else:
+        from ..utils import native
+        aggr = native.aggregate(S)
+        if aggr is None:
+            aggr = neighborhood_aggregation(S)
     return aggregation_to_tentative_p(aggr)
 
 
