@@ -332,12 +332,61 @@ def df_residual_block(dfB: DFBlockOperator, b_hi, b_lo, x_hi, x_lo):
     return tuple(h for h, _ in out), tuple(l for _, l in out)
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["indices", "values_hi", "values_lo"],
+                   meta_fields=["shape"])
+@dataclass(frozen=True)
+class DFEll:
+    """ELL operator with double-single (hi, lo) values — the df32 form for
+    UNSTRUCTURED (AMG) operators, where no grid/stencil layout exists.
+    Row-shardable: gathers read the replicated operand, every other op is
+    row-local (parallel/sharded_amg.py)."""
+    indices: jax.Array       # (n, K) int32 (padding: index 0 / value 0)
+    values_hi: jax.Array     # (n, K) f32
+    values_lo: jax.Array     # (n, K) f32
+    shape: tuple
+
+
+def df_ell_from_csr(A: sp.spmatrix) -> DFEll:
+    """Split an f64 CSR operator into df32 ELL form."""
+    from .ell import ell_from_scipy
+    A = sp.csr_matrix(A)
+    E64 = ell_from_scipy(A, dtype=np.float64)
+    v64 = np.asarray(E64.values, np.float64)
+    v_hi = v64.astype(np.float32)
+    v_lo = (v64 - v_hi.astype(np.float64)).astype(np.float32)
+    return DFEll(E64.indices, jnp.asarray(v_hi), jnp.asarray(v_lo),
+                 tuple(A.shape))
+
+
+def df_residual_ell(dfA: DFEll, b_hi, b_lo, x_hi, x_lo):
+    """r = b - A (x_hi + x_lo) in double-single; vectors are (n, m).
+
+    Compensated accumulation over the K ELL slots (statically unrolled —
+    K is the padded row width, <= a few tens for AMG levels)."""
+    idx = dfA.indices
+    n, K = idx.shape
+    s, e = b_hi, b_lo
+    for k in range(K):
+        j = idx[:, k]                      # padding is index 0 / value 0
+        xs_hi, xs_lo = jnp.take(x_hi, j, axis=0), jnp.take(x_lo, j, axis=0)
+        ch = dfA.values_hi[:, k:k + 1]
+        cl = dfA.values_lo[:, k:k + 1]
+        p, pe = two_prod(ch, xs_hi)
+        cross = ch * xs_lo + cl * xs_hi + pe
+        s, e2 = two_sum(s, -p)
+        e = e + (e2 - cross)
+    return two_sum(s, e)
+
+
 def df_residual_any(op, b_hi, b_lo, x_hi, x_lo):
-    """Dispatch over the three df32 operator forms."""
+    """Dispatch over the df32 operator forms."""
     if isinstance(op, DFConstStencil):
         return df_residual(op, b_hi, b_lo, x_hi, x_lo)
     if isinstance(op, DFGridStencil):
         return df_residual_dense(op, b_hi, b_lo, x_hi, x_lo)
+    if isinstance(op, DFEll):
+        return df_residual_ell(op, b_hi, b_lo, x_hi, x_lo)
     return df_residual_block(op, b_hi, b_lo, x_hi, x_lo)
 
 
