@@ -368,15 +368,19 @@ def main():
             lambda h, bb, xx: recursive_cycle(cfg_f, h, bb, xx),
             state_f.hier, b, jnp.zeros_like(b), ks=(2, 6), reps=2)
 
+    # flagship sections run UNGATED, in priority order: the 2D headline and
+    # the 3D cycle numbers must land in every round's JSON even when the
+    # shared chip is contended (r3 lesson: 3D gated at min_left=120 after
+    # optional sections never ran, wall 766 s on a 450 s budget)
     section("setup2d", sec_setup2d)
     section("replace", sec_replace)
     section("headline", sec_headline)
+    section("poisson3d", sec_3d)
     section("relres", sec_relres)
     section("refined", sec_refined)
     section("cheb", sec_cheb)
     section("vanka", sec_vanka, min_left=120)
     section("sa_amg", sec_sa, min_left=120)
-    section("poisson3d", sec_3d, min_left=120)
     section("multirhs", sec_m8, min_left=60)
     section("host_baseline", sec_host)
     section("flat_engine", sec_flat, min_left=60)

@@ -485,8 +485,8 @@ def build_grid_hierarchy(state, relax_states) -> GridHierarchy:
         if l < state.num_levels - 1:
             from ..setup.hierarchy import _resolve_relax
             rs = _resolve_relax(relax_states[l])
-            from .relax import LineRelax
-            if isinstance(rs, LineRelax):
+            from .relax import LineRelax, AltLineRelax
+            if isinstance(rs, (LineRelax, AltLineRelax)):
                 d = rs                       # line state rides in the d slot
             elif hasattr(rs, "d"):
                 d = jnp.asarray(rs.d).reshape(A.grid)

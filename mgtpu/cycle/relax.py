@@ -172,8 +172,13 @@ class LineRelax:
     omega: float
 
 
-def _scan_linear(alpha, beta, axis, reverse=False):
-    """y_i = alpha_i y_{i-1} + beta_i along `axis` (associative scan)."""
+def _scan_linear_assoc(alpha, beta, axis, reverse=False):
+    """y_i = alpha_i y_{i-1} + beta_i via `lax.associative_scan`.
+
+    Kept for A/B comparison only: XLA lowers associative_scan through
+    slice/concat chains whose intermediate layouts force relayouts against
+    the stencil-consumer layout — measured 0.59 ms for the composed 257^2
+    line-Jacobi cycle vs 0.03 ms point Jacobi (ROADMAP item 3)."""
     def combine(l, r):
         al, bl = l
         ar, br = r
@@ -183,19 +188,86 @@ def _scan_linear(alpha, beta, axis, reverse=False):
     return yb
 
 
+def _shifted(v, d, axis, reverse, fill):
+    """Element i-d (forward) or i+d (reverse) of v, out-of-range -> fill.
+
+    Pure static pad+slice: stays in the operand's standard layout, so XLA
+    fuses it into the surrounding elementwise work with no relayouts
+    (unlike associative_scan's slice/concat tree)."""
+    n = v.shape[axis]
+    pads = [(0, 0)] * v.ndim
+    pads[axis] = (0, d) if reverse else (d, 0)
+    vp = jnp.pad(v, pads, constant_values=fill)
+    idx = [slice(None)] * v.ndim
+    idx[axis] = slice(d, d + n) if reverse else slice(0, n)
+    return vp[tuple(idx)]
+
+
+def _scan_linear(alpha, beta, axis, reverse=False):
+    """y_i = alpha_i y_{i-1} + beta_i along `axis` (reverse: i+1 -> i).
+
+    Hillis-Steele doubling with STATIC shifted adds: after step d, element
+    i carries the recurrence composed over the last 2d terms; log2(n)
+    steps of (2 mul + 1 fma) full-array passes.  Same O(n log n) work as
+    associative_scan but expressed as pad/slice + elementwise in the
+    stencil layout — XLA keeps one layout end-to-end and fuses the chain
+    (the associative_scan form relayouts, ROADMAP item 3)."""
+    n = alpha.shape[axis]
+    a, y = alpha, beta
+    d = 1
+    while d < n:
+        a_prev = _shifted(a, d, axis, reverse, 1)
+        y_prev = _shifted(y, d, axis, reverse, 0)
+        y = a * y_prev + y
+        a = a * a_prev
+        d *= 2
+    return y
+
+
 def line_solve(lr: LineRelax, r):
-    """T^-1 r for grid fields r of shape (.., *grid)."""
+    """T^-1 r for grid fields r of shape (.., *grid).
+
+    MGTPU_LINE_SCAN=assoc selects the associative_scan form for A/B
+    timing (read at trace time; new processes only — not a runtime knob).
+    """
+    import os
+    scan = (_scan_linear_assoc
+            if os.environ.get("MGTPU_LINE_SCAN") == "assoc"
+            else _scan_linear)
     ax = r.ndim - (lr.alpha.ndim - lr.axis)
     beta = lr.pivot * r
-    y = _scan_linear(jnp.broadcast_to(lr.alpha, beta.shape), beta, ax)
-    x = _scan_linear(jnp.broadcast_to(-lr.cprime, y.shape), y, ax,
-                     reverse=True)
+    y = scan(jnp.broadcast_to(lr.alpha, beta.shape), beta, ax)
+    x = scan(jnp.broadcast_to(-lr.cprime, y.shape), y, ax,
+             reverse=True)
     return x
 
 
-def line_smooth(matvec, lr: LineRelax, r, x, b, nu: int):
-    """nu sweeps of x += omega * T^-1 r with refreshed residuals."""
-    for _ in range(nu - 1):
-        x = x + lr.omega * line_solve(lr, r)
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["lines"], meta_fields=[])
+@dataclass(frozen=True)
+class AltLineRelax:
+    """Alternating-direction line Jacobi: one damped T_axis^-1 correction
+    per grid axis per smoothing step, residual refreshed between
+    directions (ADI-style smoothing, Brandt's guide §3.3).
+
+    A SINGLE line axis (or one semicoarsening axis) only helps where that
+    axis carries the strong coupling; operators whose anisotropy direction
+    varies over the domain (e.g. a(x)*u_xx + u_yy with a jumping 100 ->
+    0.01) stall under either.  Alternating over all grid axes smooths every
+    region along its own strong direction.  The reference has no line
+    smoothers at all."""
+    lines: tuple  # one LineRelax per grid axis
+
+
+def line_smooth(matvec, lr, r, x, b, nu: int):
+    """nu sweeps of x += omega * T^-1 r with refreshed residuals.
+
+    `lr` is a LineRelax (one axis) or AltLineRelax (cycle through all
+    axes each sweep).  The residual is NOT refreshed after the final
+    correction (callers recompute), matching relax_diag's contract."""
+    corrs = lr.lines if isinstance(lr, AltLineRelax) else (lr,)
+    steps = [c for _ in range(nu) for c in corrs]
+    for c in steps[:-1]:
+        x = x + c.omega * line_solve(c, r)
         r = b - matvec(x)
-    return x + lr.omega * line_solve(lr, r)
+    return x + steps[-1].omega * line_solve(steps[-1], r)

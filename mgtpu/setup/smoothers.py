@@ -263,10 +263,20 @@ def line_prec(A: sp.spmatrix, mesh, omega, dtype=None, axis=None):
     """Line-Jacobi smoother state: tridiagonal part of A along one grid axis
     with host-precomputed Thomas pivots (see cycle.relax.LineRelax).
 
-    axis: grid axis of the lines (slowest mesh dim first), or None to pick
-    the axis with the strongest mean unit-offset coupling automatically.
+    axis: grid axis of the lines (slowest mesh dim first), None to pick
+    the axis with the strongest mean unit-offset coupling automatically,
+    or "alt" for alternating-direction lines over ALL grid axes (for
+    operators whose strong axis varies over the domain — AltLineRelax).
     `omega` may be a float or a {"omega": w, "axis": a} mapping.
     """
+    if isinstance(omega, dict) and omega.get("axis") == "alt":
+        axis, omega = "alt", omega.get("omega", 1.0)
+    if axis == "alt":
+        from ..cycle.relax import AltLineRelax
+        g = len(np.asarray(mesh.n).ravel())
+        return AltLineRelax(tuple(
+            line_prec(A, mesh, omega, dtype=dtype, axis=a)
+            for a in range(g)))
     from ..ops.grid_stencil import grid_stencil_from_csr
     from ..cycle.relax import LineRelax
 

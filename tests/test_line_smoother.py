@@ -81,3 +81,47 @@ def test_line_jacobi_isotropic_still_converges():
     st = mg_setup(A, M, cfg, rp)
     x, info = solve_mg(st, b)
     assert info["relres"] < 1e-4
+
+
+def _mixed_strength(n):
+    """a(x)*u_xx + u_yy with a = 100 on the left half, 0.01 on the right:
+    the strong-coupling axis VARIES over the domain (x-lines needed left,
+    y-lines right) — one line axis or one semicoarsening axis cannot cover
+    both regions."""
+    N = n + 1
+    a_edge = np.where(np.arange(N - 1) < (N - 1) // 2, 100.0, 0.01)
+    D = sp.diags([-1.0, 1.0], [0, 1], shape=(N - 1, N))   # 1D edge diff
+    Tx = (D.T @ sp.diags(a_edge) @ D) * (n ** 2)
+    Ty = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    A = sp.kron(sp.identity(N), Tx) + sp.kron(Ty, sp.identity(N))
+    # tiny shift for definiteness (pure-Neumann-like rows at ends of D)
+    A = A + 1e-6 * abs(A).sum(0).max() * sp.identity(A.shape[0])
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    return M, sp.csr_matrix(A)
+
+
+@pytest.mark.slow
+def test_alternating_lines_mixed_strength_contract():
+    """VERDICT r2 item 10 contract: mixed-strength anisotropy (strong axis
+    varies over the domain).  Alternating-direction lines restore MG
+    efficiency; point Jacobi and the single auto-detected line axis stall."""
+    n = 64
+    M, A = _mixed_strength(n)
+    b = A @ np.random.RandomState(4).rand(A.shape[0])
+    b /= np.linalg.norm(b)
+
+    res = {}
+    for key, rt, rp in (("point", "jacobi", 0.8),
+                        ("one-axis", "line-jacobi", 0.9),
+                        ("alt", "line-jacobi", {"axis": "alt",
+                                                "omega": 0.9})):
+        cfg, rpv = get_mg_param(levels=4, relax_type=rt, relax_param=rp,
+                                nu_pre=1, nu_post=1, max_outer_iter=14,
+                                relative_tol=1e-12, dtype=np.float64)
+        st = mg_setup(A, M, cfg, rpv)
+        x, info = solve_mg(st, b)
+        res[key] = info["relres"]
+    # measured factors/iter: alt 0.34, one-axis 0.42, point 0.62
+    assert res["alt"] < 1e-6
+    assert res["alt"] < 1e-2 * res["point"]
+    assert res["alt"] < 1e-1 * res["one-axis"]

@@ -1,0 +1,70 @@
+"""Slope-timed 257^2 line-Jacobi vs point-Jacobi cycle cost (ROADMAP item 3,
+VERDICT r2 item 10 target: lines within ~3x of point).
+
+Compares the doubling-shift `_scan_linear` (default) against the
+`lax.associative_scan` form (MGTPU_LINE_SCAN=assoc) on the real chip.
+
+Usage: python tools/bench_line.py [probe]
+"""
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def probe_ms():
+    """Chip contention probe: 1024^2 matmul, healthy ~0.03 ms."""
+    import jax
+    import jax.numpy as jnp
+    a = jnp.asarray(np.random.rand(1024, 1024).astype(np.float32))
+
+    @jax.jit
+    def mm(a, k):
+        return jnp.sum(jax.lax.fori_loop(0, k, lambda i, x: x @ a / 32.0, a))
+
+    float(mm(a, 4)); float(mm(a, 64))
+    ts = {}
+    for k in (4, 64):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter(); float(mm(a, k))
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    return (ts[64] - ts[4]) / 60 * 1e3
+
+
+def main():
+    sys.path.insert(0, ".")
+    from bench import _chain_timer
+    from mgtpu import get_mg_param, mg_setup, get_regular_mesh
+    from mgtpu.cycle.grid_cycle import grid_cycle
+    from mgtpu.ops.grid_stencil import flat_to_grid
+    import jax.numpy as jnp
+
+    print(f"probe: {probe_ms():.3f} ms (healthy ~0.03)")
+
+    n = 256
+    N = n + 1
+    eps = 100.0
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    I = sp.identity(N)
+    A = sp.csr_matrix(eps * sp.kron(I, T) + sp.kron(T, I))
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    b = np.random.RandomState(0).rand(A.shape[0], 1).astype(np.float32)
+
+    for rt, rp in (("jacobi", 0.8), ("line-jacobi", 1.0)):
+        cfg, rpv = get_mg_param(levels=4, relax_type=rt, relax_param=rp,
+                                nu_pre=1, nu_post=1, dtype=np.float32)
+        st = mg_setup(A, M, cfg, rpv)
+        bg = flat_to_grid(jnp.asarray(b), st.hier.fine_grid)
+        ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
+                          st.hier, bg, jnp.zeros_like(bg))
+        print(f"{rt:12s}: {ms:.3f} ms/cycle (257^2 V(1,1))")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "probe":
+        print(f"probe: {probe_ms():.3f} ms")
+    else:
+        main()
