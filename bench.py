@@ -87,6 +87,51 @@ def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
     return (t2 - t1) / (ks[1] - ks[0]) * 1e3
 
 
+def _probe_ms():
+    """Chip contention probe: slope-timed 1024^2 matmul chain, healthy
+    ~0.03 ms (CLAUDE.md measurement rule 3)."""
+    import jax
+    import jax.numpy as jnp
+    a = jnp.asarray(np.random.RandomState(7).rand(1024, 1024)
+                    .astype(np.float32))
+
+    @jax.jit
+    def mm(a, k):
+        return jnp.sum(jax.lax.fori_loop(0, k, lambda i, x: x @ a / 32.0, a))
+
+    float(mm(a, 4)); float(mm(a, 64))
+    ts = {}
+    for k in (4, 64):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter(); float(mm(a, k))
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    return (ts[64] - ts[4]) / 60 * 1e3
+
+
+def _wait_healthy(max_wait: float):
+    """Block (bounded) until the shared chip answers the probe at sane
+    latency — starting a bench during a co-tenant squall records garbage
+    or stalls whole sections (r3: one run spent 45 min inside setup2d with
+    9 s of CPU).  Returns the last probe value; proceeds regardless after
+    max_wait.  Main-thread probing: a fully hung device RPC blocks here
+    exactly as it would block the first section, and a background thread
+    stuck in a PJRT call aborts the interpreter at exit (measured —
+    'FATAL: exception not rethrown'), which would corrupt the rc the
+    driver records."""
+    deadline = time.perf_counter() + max_wait
+    last = float("inf")
+    while True:
+        try:
+            last = _probe_ms()
+        except Exception:               # noqa: BLE001 — device error
+            last = float("inf")
+        if last < 0.3 or time.perf_counter() >= deadline:
+            return last
+        time.sleep(15)
+
+
 def main():
     import os
     import jax
@@ -94,6 +139,9 @@ def main():
     # co-tenant load (one bench run took 14.6 min wall on 28 s of host CPU);
     # optional detail metrics are skipped once the budget is spent so the
     # driver ALWAYS gets its one JSON line.
+    probe0 = _wait_healthy(float(os.environ.get("MGTPU_BENCH_WAIT", "420")))
+    # budget clock starts AFTER the health wait: waiting out a co-tenant
+    # squall must not eat the section budget
     T0 = time.perf_counter()
     budget = float(os.environ.get("MGTPU_BENCH_BUDGET", "450"))
 
@@ -101,7 +149,7 @@ def main():
         return budget - (time.perf_counter() - T0)
 
     errors = {}
-    R = {}            # section results; missing key -> metric stays null
+    R = {"probe0": probe0}  # section results; missing key -> metric null
 
     def section(name, fn, min_left=0.0):
         """Run one metric section with fault isolation (VERDICT r2 #2)."""
@@ -439,6 +487,8 @@ def main():
             "setup_3d_cold_s": r(g("setup3_cold"), 2),
             "replace_matrix_s": r(g("replace_s"), 3),
             "bench_wall_s": round(time.perf_counter() - T0, 1),
+            "chip_probe_ms": (None if not np.isfinite(g("probe0") or np.inf)
+                              else round(R["probe0"], 3)),
             "errors": errors or None,
             # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
             # (the reference's platform class is an OpenMP CPU solver; an

@@ -125,3 +125,34 @@ def test_alternating_lines_mixed_strength_contract():
     assert res["alt"] < 1e-6
     assert res["alt"] < 1e-2 * res["point"]
     assert res["alt"] < 1e-1 * res["one-axis"]
+
+
+@pytest.mark.slow
+def test_line_jacobi_3d():
+    """Lines along the strong axis of a 3D anisotropic operator (the scan
+    machinery is axis-generic; pin it on a 3D grid, both a sublane axis
+    and the lane axis)."""
+    n = 16
+    N = n + 1
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    I = sp.identity(N)
+    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+    for strong_kron in range(3):
+        # strong coupling on one axis: eps=50 on term `strong_kron`
+        # (kron order z,y,x -> grid axes (z, y, x))
+        terms = []
+        for k in range(3):
+            w = 50.0 if k == strong_kron else 1.0
+            mats = [I, I, I]
+            mats[k] = T
+            terms.append(w * sp.kron(sp.kron(mats[0], mats[1]), mats[2]))
+        A = sp.csr_matrix(sum(terms))
+        cfg, rp = get_mg_param(levels=3, relax_type="line-jacobi",
+                               relax_param=1.0, nu_pre=1, nu_post=1,
+                               max_outer_iter=10, relative_tol=1e-12,
+                               dtype=np.float64)
+        st = mg_setup(A, M, cfg, rp)
+        b = A @ np.random.RandomState(5).rand(A.shape[0])
+        b /= np.linalg.norm(b)
+        x, info = solve_mg(st, b)
+        assert info["relres"] < 5e-4, (strong_kron, info["relres"])
