@@ -110,6 +110,34 @@ def _probe_ms():
     return (ts[64] - ts[4]) / 60 * 1e3
 
 
+def _wait_backend(max_wait: float) -> bool:
+    """Out-of-process chip-AVAILABILITY gate, run before anything touches
+    jax in this process.  On this shared rig the axon backend init can
+    HANG 20+ minutes waiting for a chip grant, or raise UNAVAILABLE when
+    the grant is lost — and jax caches a failed backend init for the
+    process lifetime, so in-process retries are useless.  Probing
+    `jax.devices()` in a bounded, killable SUBPROCESS sidesteps both:
+    the parent only initialises jax once a grant is actually obtainable.
+    Returns False when max_wait elapses first (sections then record their
+    own failures; the JSON line still prints)."""
+    import subprocess
+    import sys
+    deadline = time.perf_counter() + max_wait
+    while True:
+        remain = deadline - time.perf_counter()
+        if remain <= 0:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(240.0, max(30.0, remain)), capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(min(15.0, max(0.0, deadline - time.perf_counter())))
+
+
 def _wait_healthy(max_wait: float):
     """Block (bounded) until the shared chip answers the probe at sane
     latency — starting a bench during a co-tenant squall records garbage
@@ -139,7 +167,11 @@ def main():
     # co-tenant load (one bench run took 14.6 min wall on 28 s of host CPU);
     # optional detail metrics are skipped once the budget is spent so the
     # driver ALWAYS gets its one JSON line.
-    probe0 = _wait_healthy(float(os.environ.get("MGTPU_BENCH_WAIT", "420")))
+    wait = float(os.environ.get("MGTPU_BENCH_WAIT", "420"))
+    t_gate = time.perf_counter()
+    _wait_backend(max(wait, float(os.environ.get("MGTPU_BENCH_INIT_WAIT",
+                                                 "1500"))))
+    probe0 = _wait_healthy(max(60.0, wait - (time.perf_counter() - t_gate)))
     # budget clock starts AFTER the health wait: waiting out a co-tenant
     # squall must not eat the section budget
     T0 = time.perf_counter()
