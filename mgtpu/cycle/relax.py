@@ -224,22 +224,39 @@ def _scan_linear(alpha, beta, axis, reverse=False):
     return y
 
 
-def line_solve(lr: LineRelax, r):
-    """T^-1 r for grid fields r of shape (.., *grid).
-
-    MGTPU_LINE_SCAN=assoc selects the associative_scan form for A/B
-    timing (read at trace time; new processes only — not a runtime knob).
-    """
+def _line_mode() -> str:
+    """MGTPU_LINE_SCAN: '' (XLA doubling, default) | 'assoc'
+    (associative_scan, A/B baseline) | 'pallas' / 'pallas-interpret'
+    (ops/pallas/tridiag.py one-pass kernels, f32 grids only).
+    Read at trace time — new processes only, not a runtime knob."""
     import os
-    scan = (_scan_linear_assoc
-            if os.environ.get("MGTPU_LINE_SCAN") == "assoc"
-            else _scan_linear)
+    return os.environ.get("MGTPU_LINE_SCAN", "")
+
+
+def line_solve(lr: LineRelax, r):
+    """T^-1 r for grid fields r of shape (.., *grid)."""
+    mode = _line_mode()
+    if mode.startswith("pallas") and r.dtype == jnp.float32:
+        from ..ops.pallas.tridiag import line_solve_pallas
+        return line_solve_pallas(lr, r, interpret=mode.endswith("interpret"))
+    scan = _scan_linear_assoc if mode == "assoc" else _scan_linear
     ax = r.ndim - (lr.alpha.ndim - lr.axis)
     beta = lr.pivot * r
     y = scan(jnp.broadcast_to(lr.alpha, beta.shape), beta, ax)
     x = scan(jnp.broadcast_to(-lr.cprime, y.shape), y, ax,
              reverse=True)
     return x
+
+
+def _line_correct(lr: LineRelax, r, x):
+    """x + lr.omega * T^-1 r, with the damped add fused into the pallas
+    backward pass when that path is active."""
+    mode = _line_mode()
+    if mode.startswith("pallas") and r.dtype == jnp.float32:
+        from ..ops.pallas.tridiag import line_correct_pallas
+        return line_correct_pallas(lr, r, x,
+                                   interpret=mode.endswith("interpret"))
+    return x + lr.omega * line_solve(lr, r)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -268,6 +285,6 @@ def line_smooth(matvec, lr, r, x, b, nu: int):
     corrs = lr.lines if isinstance(lr, AltLineRelax) else (lr,)
     steps = [c for _ in range(nu) for c in corrs]
     for c in steps[:-1]:
-        x = x + c.omega * line_solve(c, r)
+        x = _line_correct(c, r, x)
         r = b - matvec(x)
-    return x + steps[-1].omega * line_solve(steps[-1], r)
+    return _line_correct(steps[-1], r, x)

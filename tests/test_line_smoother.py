@@ -127,6 +127,53 @@ def test_alternating_lines_mixed_strength_contract():
     assert res["alt"] < 1e-1 * res["one-axis"]
 
 
+def test_pallas_tridiag_matches_scan_2d(monkeypatch):
+    """ops/pallas/tridiag.py (interpret) == the XLA doubling scan, both
+    line axes, batched and unbatched, odd extents (exercises blk padding)."""
+    from mgtpu.cycle.relax import _line_correct
+    n = 24
+    M, A = _aniso(n, 10.0)
+    for axis in (0, 1):
+        lr = line_prec(A, M, 0.9, dtype=np.float32, axis=axis)
+        rng = np.random.RandomState(axis)
+        for lead in ((), (3,)):
+            r = jnp.asarray(rng.rand(*lead, n + 1, n + 1).astype(np.float32))
+            x = jnp.asarray(rng.rand(*lead, n + 1, n + 1).astype(np.float32))
+            monkeypatch.delenv("MGTPU_LINE_SCAN", raising=False)
+            ref_s = np.asarray(line_solve(lr, r))
+            ref_c = np.asarray(x + lr.omega * line_solve(lr, r))
+            monkeypatch.setenv("MGTPU_LINE_SCAN", "pallas-interpret")
+            got_s = np.asarray(line_solve(lr, r))
+            got_c = np.asarray(_line_correct(lr, r, x))
+            sc = np.abs(ref_s).max()
+            assert np.abs(got_s - ref_s).max() / sc < 2e-4, (axis, lead)
+            assert np.abs(got_c - ref_c).max() / sc < 2e-4, (axis, lead)
+
+
+def test_pallas_tridiag_matches_scan_3d(monkeypatch):
+    """All three grid axes of a 3D field route through the same kernel
+    (axis moved to second-to-minor; minor axis via transpose)."""
+    from mgtpu.cycle.relax import _line_correct
+    n = 10
+    N = n + 1
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    I = sp.identity(N)
+    A = sp.csr_matrix(20.0 * sp.kron(sp.kron(T, I), I)
+                      + sp.kron(sp.kron(I, T), I)
+                      + sp.kron(sp.kron(I, I), T))
+    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+    rng = np.random.RandomState(7)
+    r = jnp.asarray(rng.rand(2, N, N, N).astype(np.float32))
+    x = jnp.asarray(rng.rand(2, N, N, N).astype(np.float32))
+    for axis in (0, 1, 2):
+        lr = line_prec(A, M, 1.0, dtype=np.float32, axis=axis)
+        monkeypatch.delenv("MGTPU_LINE_SCAN", raising=False)
+        ref = np.asarray(x + lr.omega * line_solve(lr, r))
+        monkeypatch.setenv("MGTPU_LINE_SCAN", "pallas-interpret")
+        got = np.asarray(_line_correct(lr, r, x))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4, axis
+
+
 @pytest.mark.slow
 def test_line_jacobi_3d():
     """Lines along the strong axis of a 3D anisotropic operator (the scan
