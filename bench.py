@@ -160,6 +160,13 @@ def _wait_healthy(max_wait: float):
         time.sleep(15)
 
 
+def _try_device_str():
+    try:
+        return str(jax.devices()[0])
+    except Exception:                      # noqa: BLE001 — backend never up
+        return None
+
+
 def main():
     import os
     import jax
@@ -480,7 +487,9 @@ def main():
         "vs_baseline": (None if dev_ms is None or host_ms is None
                         else round(host_ms / dev_ms, 2)),
         "detail": {
-            "device": str(jax.devices()[0]),
+            # guarded: if the backend never initialised, jax.devices()
+            # raises and would kill the always-print-JSON contract
+            "device": _try_device_str(),
             "engine": None if state is None else type(state.hier).__name__,
             "fine_nnz": None if state is None else int(state.As[0].nnz),
             "hierarchy_nnz": hier_nnz,
@@ -519,8 +528,9 @@ def main():
             "setup_3d_cold_s": r(g("setup3_cold"), 2),
             "replace_matrix_s": r(g("replace_s"), 3),
             "bench_wall_s": round(time.perf_counter() - T0, 1),
-            "chip_probe_ms": (None if not np.isfinite(g("probe0") or np.inf)
-                              else round(R["probe0"], 3)),
+            "chip_probe_ms": (round(R["probe0"], 3)
+                              if g("probe0") is not None
+                              and np.isfinite(R["probe0"]) else None),
             "errors": errors or None,
             # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
             # (the reference's platform class is an OpenMP CPU solver; an

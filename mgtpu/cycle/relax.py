@@ -284,6 +284,8 @@ def line_smooth(matvec, lr, r, x, b, nu: int):
     correction (callers recompute), matching relax_diag's contract."""
     corrs = lr.lines if isinstance(lr, AltLineRelax) else (lr,)
     steps = [c for _ in range(nu) for c in corrs]
+    if not steps:                      # nu == 0: total, like relax_diag
+        return x
     for c in steps[:-1]:
         x = _line_correct(c, r, x)
         r = b - matvec(x)

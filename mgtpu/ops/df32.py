@@ -348,15 +348,19 @@ class DFEll:
 
 
 def df_ell_from_csr(A: sp.spmatrix) -> DFEll:
-    """Split an f64 CSR operator into df32 ELL form."""
-    from .ell import ell_from_scipy
+    """Split an f64 CSR operator into df32 ELL form.
+
+    The hi/lo split happens in NUMPY before any device transfer: with
+    jax_enable_x64=False (the production TPU state) a jnp.asarray of the
+    f64 values would silently truncate to f32 and leave values_lo == 0,
+    voiding the compensated-residual certification."""
+    from .ell import ell_arrays_from_scipy
     A = sp.csr_matrix(A)
-    E64 = ell_from_scipy(A, dtype=np.float64)
-    v64 = np.asarray(E64.values, np.float64)
+    idx, v64, shape = ell_arrays_from_scipy(A, dtype=np.float64)
     v_hi = v64.astype(np.float32)
     v_lo = (v64 - v_hi.astype(np.float64)).astype(np.float32)
-    return DFEll(E64.indices, jnp.asarray(v_hi), jnp.asarray(v_lo),
-                 tuple(A.shape))
+    return DFEll(jnp.asarray(idx), jnp.asarray(v_hi), jnp.asarray(v_lo),
+                 tuple(shape))
 
 
 def df_residual_ell(dfA: DFEll, b_hi, b_lo, x_hi, x_lo):

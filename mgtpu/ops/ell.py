@@ -56,8 +56,12 @@ class ELL:
         return ELL(self.indices, self.values.astype(dtype), self.shape)
 
 
-def ell_from_scipy(A: sp.spmatrix, dtype=None, pad_k: int = 4) -> ELL:
-    """Build an ELL device matrix from a scipy sparse matrix."""
+def ell_arrays_from_scipy(A: sp.spmatrix, dtype=None, pad_k: int = 4):
+    """HOST ELL layout (numpy idx/val, shape) from a scipy sparse matrix.
+
+    Kept in numpy so callers that need true f64 values (ops/df32.py hi/lo
+    splitting) are not truncated by jnp.asarray under jax_enable_x64=False
+    — the production TPU state (Mosaic cannot lower x64 traces)."""
     A = A.tocsr()
     A.sum_duplicates()
     n, m = A.shape
@@ -71,7 +75,13 @@ def ell_from_scipy(A: sp.spmatrix, dtype=None, pad_k: int = 4) -> ELL:
     rows = np.repeat(np.arange(n), counts)
     idx[rows, within] = A.indices
     val[rows, within] = A.data.astype(val.dtype)
-    return ELL(jnp.asarray(idx), jnp.asarray(val), (int(n), int(m)))
+    return idx, val, (int(n), int(m))
+
+
+def ell_from_scipy(A: sp.spmatrix, dtype=None, pad_k: int = 4) -> ELL:
+    """Build an ELL device matrix from a scipy sparse matrix."""
+    idx, val, shape = ell_arrays_from_scipy(A, dtype, pad_k)
+    return ELL(jnp.asarray(idx), jnp.asarray(val), shape)
 
 
 @jax.jit

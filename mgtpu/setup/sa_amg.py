@@ -403,11 +403,22 @@ def _structured_sa_hierarchy(state: MGState, nn_levels, host_diags,
         inv = np.linalg.pinv(Ad, rcond=1e-12)
         coarse = DenseInverse(jnp.asarray(inv.astype(cfg.dtype)), grid_c)
     else:
-        # device-built shifted inverse (reference coarsest shift,
-        # SA-AMG.jl:63): LU + n-RHS solve on the MXU at setup, one matmul
-        # in-cycle — no host O(nc^3) inversion
-        from ..cycle.grid_cycle import grid_dense_inverse_from_scipy
-        coarse = grid_dense_inverse_from_scipy(A_c, grid_c, cfg.dtype)
+        from ..cycle.grid_cycle import (_DENSE_LU_MAX, GridSparseLU,
+                                        grid_dense_inverse_from_scipy)
+        if A_c.shape[0] > _DENSE_LU_MAX:
+            # beyond the replicated-dense budget (O(nc^2) device memory):
+            # host SuperLU behind the same solve() protocol — same rule as
+            # build_grid_hierarchy, so aggressive-coarsening SA setups
+            # cannot OOM the chip on a 10^5-dof coarsest
+            from scipy.sparse.linalg import splu
+            fdt = np.complex128 if np.iscomplexobj(A_c.data) else np.float64
+            coarse = GridSparseLU(splu(A_c.tocsc().astype(fdt)),
+                                  tuple(grid_c))
+        else:
+            # device-built shifted inverse (reference coarsest shift,
+            # SA-AMG.jl:63): LU + n-RHS solve on the MXU at setup, one
+            # matmul in-cycle — no host O(nc^3) inversion
+            coarse = grid_dense_inverse_from_scipy(A_c, grid_c, cfg.dtype)
     if verbose:
         print("sa_amg_setup: structured aggregation on the grid engine")
     return GridHierarchy(tuple(levels), coarse)

@@ -192,3 +192,32 @@ def test_refined_variable_coefficient_uses_dense_df32():
     tr = (np.linalg.norm(b - A.astype(np.float64) @ np.asarray(x, np.float64))
           / np.linalg.norm(b))
     assert tr < 1e-8, tr
+
+
+def test_df_ell_split_survives_x64_disabled():
+    """df_ell_from_csr must split hi/lo in numpy BEFORE device transfer:
+    under jax_enable_x64=False (the production TPU state — Mosaic cannot
+    lower x64 traces) a jnp.asarray of f64 values silently truncates to
+    f32, leaving values_lo == 0 and voiding the sharded-AMG df32
+    certification (code-review r3)."""
+    import jax
+    from mgtpu.ops.df32 import df_ell_from_csr, df_residual_ell
+    rng = np.random.RandomState(3)
+    n = 120
+    A = (sp.random(n, n, 0.06, random_state=rng, format="csr")
+         + sp.identity(n)).astype(np.float64)
+    A.data *= (1.0 + 1e-9 * rng.rand(A.nnz))     # not f32-representable
+    with jax.enable_x64(False):
+        dfA = df_ell_from_csr(A)
+        lo = float(jnp.abs(dfA.values_lo).max())
+        assert lo > 0.0, "low-order split lost (values_lo == 0)"
+        x64 = rng.rand(n, 1)
+        b64 = rng.rand(n, 1)
+        xh, xl = _split64(x64)
+        bh, bl = _split64(b64)
+        rh, rl = df_residual_ell(dfA, jnp.asarray(bh), jnp.asarray(bl),
+                                 jnp.asarray(xh), jnp.asarray(xl))
+        r = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    r64 = b64 - A @ x64
+    err = np.abs(r - r64).max() / np.abs(r64).max()
+    assert err < 1e-12, err

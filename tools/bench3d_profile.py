@@ -19,27 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain(fn, ops, ks=(2, 22), reps=3):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @jax.jit
-    def run(ops, k):
-        def body(i, xx):
-            return fn(ops, xx)
-        x = lax.fori_loop(0, k, body, ops["x0"])
-        return jnp.sum(x[0]) if isinstance(x, tuple) else jnp.sum(x)
-
-    for k in ks:
-        float(run(ops, k))
-    times = {k: [] for k in ks}
-    for _ in range(reps):
-        for k in ks:
-            t0 = time.perf_counter()
-            float(run(ops, k))
-            times[k].append(time.perf_counter() - t0)
-    t1, t2 = min(times[ks[0]]), min(times[ks[1]])
-    return (t2 - t1) / (ks[1] - ks[0]) * 1e3
+    """Slope-time fn(ops, x) chains — delegates to bench._chain_timer so
+    the paid-for methodology (CLAUDE.md rule 1) lives in ONE place."""
+    from bench import _chain_timer
+    return _chain_timer(lambda o, _b, xx: fn(o, xx), ops, 0.0, ops["x0"],
+                        ks=ks, reps=reps)
 
 
 def main():

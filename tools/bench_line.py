@@ -19,28 +19,15 @@ import scipy.sparse as sp
 
 
 def probe_ms():
-    """Chip contention probe: 1024^2 matmul, healthy ~0.03 ms."""
-    import jax
-    import jax.numpy as jnp
-    a = jnp.asarray(np.random.rand(1024, 1024).astype(np.float32))
+    """Chip contention probe (bench._probe_ms — one implementation)."""
+    from bench import _probe_ms
+    return _probe_ms()
 
-    @jax.jit
-    def mm(a, k):
-        return jnp.sum(jax.lax.fori_loop(0, k, lambda i, x: x @ a / 32.0, a))
 
-    float(mm(a, 4)); float(mm(a, 64))
-    ts = {}
-    for k in (4, 64):
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter(); float(mm(a, k))
-            best = min(best, time.perf_counter() - t0)
-        ts[k] = best
-    return (ts[64] - ts[4]) / 60 * 1e3
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    sys.path.insert(0, ".")
     from bench import _chain_timer
     from mgtpu import get_mg_param, mg_setup, get_regular_mesh
     from mgtpu.cycle.grid_cycle import grid_cycle
