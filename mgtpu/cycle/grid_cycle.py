@@ -313,9 +313,13 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
 
         p = grid_prolong(xc, lvl.P1)
         if f3 is not None:
-            x = x + p
-            for _ in range(cfg.nu_post[level]):
-                x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
+            if cfg.nu_post[level] > 0:
+                # correction add folded into the first post-smooth pass
+                x = f3k.jacobi_corr3d(lvl.A, lvl.d, b, x, p, interpret=f3)
+                for _ in range(cfg.nu_post[level] - 1):
+                    x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
+            else:
+                x = x + p
         else:
             x = x + p
             r = b - matvec(x)

@@ -47,35 +47,53 @@ def supports_const3d(offsets, grid, dtype) -> bool:
 
     Below ~2M nodes the XLA shifted-add path fuses with the surrounding
     smoother arithmetic and the kernel's fixed call cost plus the lost
-    fusion outweigh its single-pass win (slope-timed: the full V-cycle
+    fusion outweigh its single-pass win (slope-timed r2: the full V-cycle
     REGRESSED 2.1 -> 3.3 ms with the kernel on every level; fine-level-only
-    keeps the 4x matvec win where the bytes are)."""
+    keeps the 4x matvec win where the bytes are).  That measurement
+    predates the face-array hoist (r3) — MGTPU_PALLAS3D_MIN overrides the
+    node floor (setup-time knob) for re-measuring the crossover."""
+    import os
     if len(grid) != 3:
         return False
     if any(abs(d) > 1 for off in offsets for d in off):
         return False
     if any(n < 16 for n in grid):
         return False
-    if int(np.prod(grid)) < 2 * 10 ** 6:
+    min_nodes = int(float(os.environ.get("MGTPU_PALLAS3D_MIN", 2 * 10 ** 6)))
+    if int(np.prod(grid)) < min_nodes:
         return False
     return np.dtype(dtype) == np.float32
 
 
 def build_faces(coeff: np.ndarray, w: int):
-    """Full-extent face coefficient arrays from the dense (nd, X, Y, Z)
-    host coefficients: (fx (nd, 4w, Y, Z), fy (nd, 2w, X, Z),
-    fz (nd, 2w, X, Y)); band axis second so it never lane-pads.
+    """Face coefficient arrays from the dense (nd, X, Y, Z) host
+    coefficients: (fx (nd, 4w, Y, Z), fyq (nd, 2w, Xp, Z),
+    fzq (nd, 2w, Xp, Y), fyq_t (Xp, nd, 2w, Z), fzq_t (Xp, nd, Y, 2w));
+    band axis off the minor dims so a w-wide slab never lane-pads.
 
     fx carries 2w planes per side (not w): the fused double-apply kernel
     (fused3d.jacobi_residual3d) needs exact row taps on 2w planes — its
     second apply reads the x-band-corrected smoother output one plane in.
-    Single-apply kernels slice the inner w planes via `fx_narrow`."""
+    Single-apply kernels slice the inner w planes via `fx_narrow`.
+
+    fyq/fzq are pre-PADDED to the _BX-multiple X extent and fyq_t/fzq_t
+    pre-TRANSPOSED to the x-leading layout the double-apply kernel's halo
+    slabs need — these are constant per operator, so hoisting them to
+    setup removes ~4 pad passes + 2 relayouts (~30 MB of HBM traffic at
+    129^3) from EVERY fused kernel call (r3; ROADMAP item 2a)."""
+    X = coeff.shape[1]
+    Xp = -(-X // _BX) * _BX
     fx = np.concatenate([coeff[:, :2 * w], coeff[:, -2 * w:]], axis=1)
     fy = np.moveaxis(np.concatenate([coeff[:, :, :w], coeff[:, :, -w:]],
                                     axis=2), 2, 1)
     fz = np.moveaxis(np.concatenate([coeff[:, :, :, :w], coeff[:, :, :, -w:]],
                                     axis=3), 3, 1)
-    return fx, fy, fz
+    padX = ((0, 0), (0, 0), (0, Xp - X), (0, 0))
+    fyq = np.pad(fy, padX)
+    fzq = np.pad(fz, padX)
+    fyq_t = np.ascontiguousarray(np.transpose(fyq, (2, 0, 1, 3)))
+    fzq_t = np.ascontiguousarray(np.transpose(fzq, (2, 0, 3, 1)))
+    return fx, fyq, fzq, fyq_t, fzq_t
 
 
 def fx_narrow(fx, w: int):
@@ -85,12 +103,160 @@ def fx_narrow(fx, w: int):
     return jnp.concatenate([fx[:, :w], fx[:, -w:]], axis=1)
 
 
-def _interior_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref,
-                     xm_ref, x0_ref, xp_ref, y_ref):
+def _grouped() -> bool:
+    """MGTPU_PALLAS3D_GROUPED=0 restores the per-tap roll schedule (an
+    emergency-off knob; read at trace time — new processes only)."""
+    import os
+    return os.environ.get("MGTPU_PALLAS3D_GROUPED", "1") != "0"
+
+
+def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
+    """Band-corrected stencil tap accumulation over one x-plane group.
+
+    planes_of(dx) -> (n, Y, Z) tap source for x offset dx; c_ref[k] the
+    constant interior coefficients; ytap(k)/ztap(k) -> the ((n, w, Z) lo,
+    hi) / ((n, Y, w) lo, hi) TRUE boundary-band coefficients for tap k.
+    Returns (acc (n, Y, Z), zlo, zhi, ylo, yhi) where zlo/zhi are TUPLES
+    of w single-column (n, Y, 1) values (per-column partial stores are
+    Mosaic-safe; stitching them into a w-wide array would need a
+    sub-128-lane concatenate, which Mosaic rejects).
+
+    These kernels are VPU-bound, not HBM-bound (129^3 matvec ~0.3 ms
+    measured vs ~0.04 ms memory floor), and the per-tap schedule's cost is
+    its 18+18 full-block rolls for a 27-point stencil.  The grouped
+    schedule (default, any w; offsets radius 1 per supports_const3d)
+    caches the sublane (y) rolls per (dx, dy) — <=6 — and applies the
+    full-extent lane (z) rolls to the THREE dz-group SUMS — 2.  Band taps
+    read the SAME values as the rolled form: z bands as static column
+    slices of the unrolled q (roll+slice == slice at the shifted column,
+    wrap landing only where the true coefficient is zero), y bands as
+    (n, w, Z) sliver rolls.  Per-tap values are bitwise-identical; only
+    the acc summation order changes (grouped by dz)."""
+    if not _grouped():
+        return _tap_accum_pertap(planes_of, c_ref, ytap, ztap, offsets,
+                                 w, n, Y, Z, dtype)
+    qc = {}
+
+    def q(dx, dy):
+        if (dx, dy) not in qc:
+            p = planes_of(dx)
+            qc[(dx, dy)] = (pltpu.roll(p, np.int32(-dy % Y), axis=1)
+                            if dy else p)
+        return qc[(dx, dy)]
+
+    inner = {}
+    zlo = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
+    zhi = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
+    ylo = jnp.zeros((n, w, Z), dtype)
+    yhi = jnp.zeros((n, w, Z), dtype)
+    for k, (dx, dy, dz) in enumerate(offsets):
+        qk = q(dx, dy)
+        term = c_ref[k] * qk
+        inner[dz] = term if dz not in inner else inner[dz] + term
+        zlo_c, zhi_c = ztap(k)
+        ylo_c, yhi_c = ytap(k)
+        # roll_z(q)[:, :, j] == q[:, :, (j + dz) % Z]: band columns are
+        # static keep-dim slices of the UNROLLED array; the % wrap lands
+        # only where the tap reads outside the domain (true coeff 0)
+        for c in range(w):
+            jlo, jhi = (c + dz) % Z, (Z - w + c + dz) % Z
+            zlo[c] = zlo[c] + qk[:, :, jlo:jlo + 1] * zlo_c[:, :, c:c + 1]
+            zhi[c] = zhi[c] + qk[:, :, jhi:jhi + 1] * zhi_c[:, :, c:c + 1]
+        rlo, rhi = qk[:, :w, :], qk[:, Y - w:, :]
+        if dz:
+            rlo = pltpu.roll(rlo, np.int32(-dz % Z), axis=2)
+            rhi = pltpu.roll(rhi, np.int32(-dz % Z), axis=2)
+        ylo = ylo + rlo * ylo_c
+        yhi = yhi + rhi * yhi_c
+    acc = jnp.zeros((n, Y, Z), dtype)
+    for dz in sorted(inner):
+        v = inner[dz]
+        acc = acc + (pltpu.roll(v, np.int32(-dz % Z), axis=2) if dz else v)
+    return acc, tuple(zlo), tuple(zhi), ylo, yhi
+
+
+def inkernel_xband() -> bool:
+    """MGTPU_PALLAS3D_XBAND=fold computes the exact x-band rows INSIDE the
+    single-apply kernels (one pallas_call per apply instead of main +
+    aliased row kernel, and no XLA-side window stack).  Default off until
+    A/B'd on the chip (read at trace time)."""
+    import os
+    return os.environ.get("MGTPU_PALLAS3D_XBAND", "") == "fold"
+
+
+def _xband_rows(X: int, w: int):
+    """Static (block, in-block row, fx_narrow slot) triples for the 2w
+    x-band rows 0..w-1 and X-w..X-1 (the hi rows may straddle a block
+    boundary when X % _BX < w)."""
+    rows = list(range(w)) + list(range(X - w, X))
+    return tuple((r // _BX, r % _BX, s) for s, r in enumerate(rows))
+
+
+def xband_row(plane_of, fxn_ref, slot, offsets, Y, Z, dtype):
+    """Exact A x on ONE x-band row: plane_of(dx) -> (1, Y, Z) tap source,
+    fxn_ref[t, slot] the TRUE (Y, Z) coefficients of this row (fx_narrow
+    layout).  Per-tap rolls on single-plane slivers — 2 of nb grid steps
+    pay this, so the grouped schedule is not worth its bookkeeping here."""
+    ax = jnp.zeros((1, Y, Z), dtype)
+    for t, (dx, dy, dz) in enumerate(offsets):
+        p = plane_of(dx)
+        if dy:
+            p = pltpu.roll(p, np.int32(-dy % Y), axis=1)
+        if dz:
+            p = pltpu.roll(p, np.int32(-dz % Z), axis=2)
+        ax = ax + fxn_ref[t, slot][None] * p
+    return ax
+
+
+def _tap_accum_pertap(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z,
+                      dtype):
+    """Reference per-tap schedule: one (or two) full-block rolls per tap.
+    Returns z bands split into per-column tuples (tap_accum contract)."""
+    acc = jnp.zeros((n, Y, Z), dtype)
+    zlo = jnp.zeros((n, Y, w), dtype)
+    zhi = jnp.zeros((n, Y, w), dtype)
+    ylo = jnp.zeros((n, w, Z), dtype)
+    yhi = jnp.zeros((n, w, Z), dtype)
+    for k, (dx, dy, dz) in enumerate(offsets):
+        p = planes_of(dx)
+        if dy:
+            p = pltpu.roll(p, np.int32(-dy % Y), axis=1)
+        if dz:
+            p = pltpu.roll(p, np.int32(-dz % Z), axis=2)
+        acc = acc + c_ref[k] * p
+        zlo_c, zhi_c = ztap(k)
+        ylo_c, yhi_c = ytap(k)
+        zlo = zlo + p[:, :, :w] * zlo_c
+        zhi = zhi + p[:, :, Z - w:] * zhi_c
+        ylo = ylo + p[:, :w, :] * ylo_c
+        yhi = yhi + p[:, Y - w:, :] * yhi_c
+    return (acc, tuple(zlo[:, :, c:c + 1] for c in range(w)),
+            tuple(zhi[:, :, c:c + 1] for c in range(w)), ylo, yhi)
+
+
+def main_ytap(fy_ref, w):
+    """Main-block fy taps: fy_ref[k] (2w, B, Z) -> ((B, w, Z) lo, hi)."""
+    return lambda k: (jnp.moveaxis(fy_ref[k, :w], 0, 1),
+                      jnp.moveaxis(fy_ref[k, w:], 0, 1))
+
+
+def main_ztap(fz_ref, w):
+    """Main-block fz taps: fz_ref[k] (2w, B, Y) -> ((B, Y, w) lo, hi)."""
+    return lambda k: (jnp.moveaxis(fz_ref[k, :w], 0, 2),
+                      jnp.moveaxis(fz_ref[k, w:], 0, 2))
+
+
+def _interior_kernel(offsets, w, nb, xb, c_ref, fy_ref, fz_ref, *rest):
     """Const-coefficient apply + in-kernel y/z band recomputation.
 
     The band values overwrite the output via PARTIAL ref stores — Mosaic's
-    concatenate rejects the band/interior stitch at sub-128-lane layouts."""
+    concatenate rejects the band/interior stitch at sub-128-lane layouts.
+    xb = (i_last, off) folds the exact x-band rows in too (inkernel_xband);
+    None keeps the separate aliased row kernel (_apply_xband)."""
+    if xb is not None:
+        fxn_ref, xm_ref, x0_ref, xp_ref, y_ref = rest
+    else:
+        xm_ref, x0_ref, xp_ref, y_ref = rest
     i = pl.program_id(0)
     cur = x0_ref[:]                                     # (BX, Y, Z)
     Y, Z = cur.shape[1], cur.shape[2]
@@ -104,35 +270,26 @@ def _interior_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref,
         0: cur,
         1: jnp.concatenate([cur[1:], bot], axis=0),     # x[i+1]
     }
-    acc = jnp.zeros_like(cur)
-    zlo = jnp.zeros(cur.shape[:2] + (w,), cur.dtype)
-    zhi = jnp.zeros(cur.shape[:2] + (w,), cur.dtype)
-    ylo = jnp.zeros((cur.shape[0], w, Z), cur.dtype)
-    yhi = jnp.zeros((cur.shape[0], w, Z), cur.dtype)
-    for k, (dx, dy, dz) in enumerate(offsets):
-        p = planes[dx]
-        if dy:
-            p = pltpu.roll(p, np.int32(-dy % Y), axis=1)
-        if dz:
-            p = pltpu.roll(p, np.int32(-dz % Z), axis=2)
-        acc = acc + c_ref[k] * p
-        # fz block: (nd, 2w, BX, Y) -> per band col zs, coeffs (BX, Y)
-        zlo = zlo + (p[:, :, :w]
-                     * jnp.moveaxis(fz_ref[k, :w], 0, 2))
-        zhi = zhi + (p[:, :, Z - w:]
-                     * jnp.moveaxis(fz_ref[k, w:], 0, 2))
-        # fy block: (nd, 2w, BX, Z) -> per band row ys, coeffs (BX, Z)
-        ylo = ylo + (p[:, :w, :]
-                     * jnp.moveaxis(fy_ref[k, :w], 0, 1))
-        yhi = yhi + (p[:, Y - w:, :]
-                     * jnp.moveaxis(fy_ref[k, w:], 0, 1))
+    acc, zlo, zhi, ylo, yhi = tap_accum(
+        lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
+        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype)
     y_ref[:] = acc
     # band overwrites: all band arrays carry TRUE coefficients on their full
     # extent, so the z/y overlap (corners) agrees and write order is free
-    y_ref[:, :, :w] = zlo
-    y_ref[:, :, Z - w:] = zhi
+    for c in range(w):
+        y_ref[:, :, c:c + 1] = zlo[c]
+        y_ref[:, :, Z - w + c:Z - w + c + 1] = zhi[c]
     y_ref[:, :w, :] = ylo
     y_ref[:, Y - w:, :] = yhi
+    if xb is not None:
+        # fx carries TRUE coefficients on the whole band row (corners
+        # included), so the full-row overwrite must come LAST
+        for blk_i, off_r, slot in xb:
+            @pl.when(i == blk_i)
+            def _row(off_r=off_r, slot=slot):
+                y_ref[off_r:off_r + 1] = xband_row(
+                    lambda dx: planes[dx][off_r:off_r + 1], fxn_ref, slot,
+                    offsets, Y, Z, cur.dtype)
 
 
 def _xband_fix_kernel(offsets, mode, xwin_ref, fx_ref, b_ref, x_ref,
@@ -201,48 +358,61 @@ def _apply_xband(y, x, b, d, fx, offsets, w, mode, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "w", "interpret"))
-def _matvec_one(const, fx, fy, fz, x, offsets, w, interpret):
+def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
     xq = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0))) if Xp != X else x
     nb = Xp // _BX
-    kern = functools.partial(_interior_kernel, offsets, w, nb)
+    fold = inkernel_xband()
+    xb = _xband_rows(X, w) if fold else None
+    kern = functools.partial(_interior_kernel, offsets, w, nb, xb)
     # NOTE: this toolchain's Mosaic cannot lower ANY pallas_call traced under
     # jax_enable_x64 (an internal i64 index function fails to legalize);
     # tracing the call in a local 32-bit scope is semantically inert here
     # (all operand dtypes are explicit) and keeps the kernels usable from
     # x64-certified drivers like solve_mg_refined.
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((nd, 2 * w, _BX, Z), lambda i: (0, 0, jnp.int32(i), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ops = [const, fyq, fzq]
+    if fold:
+        # constant-index block: fetched once, stays VMEM-resident
+        in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),
+                                     lambda i: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        ops.append(fx_narrow(fx, w))
+    in_specs += [
+        pl.BlockSpec((1, Y, Z),
+                     lambda i: (jnp.int32(jnp.maximum(i * _BX - 1, 0)),
+                                0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Y, Z),
+                     lambda i: (jnp.int32(jnp.minimum(i * _BX + _BX,
+                                                      Xp - 1)), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ops += [xq, xq, xq]
     with jax.enable_x64(False):
         y = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((Xp, Y, Z), x.dtype),
             grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((nd, 2 * w, _BX, Z), lambda i: (0, 0, jnp.int32(i), 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Y, Z),
-                             lambda i: (jnp.int32(jnp.maximum(i * _BX - 1, 0)),
-                                        0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Y, Z),
-                             lambda i: (jnp.int32(jnp.minimum(i * _BX + _BX,
-                                                              Xp - 1)), 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
-        )(const, jnp.pad(fy, ((0, 0), (0, 0), (0, Xp - X), (0, 0))),
-          jnp.pad(fz, ((0, 0), (0, 0), (0, Xp - X), (0, 0))), xq, xq, xq)
+        )(*ops)
     y = y[:X]
-
+    if fold:
+        return y
     zf = jnp.zeros_like(x)
     y = _apply_xband(y, x, zf, zf, fx_narrow(fx, w), offsets, w,
                      "matvec", interpret)
@@ -254,9 +424,9 @@ def const3d_matvec_pallas(const, faces, offsets, x, w: int,
     """Exact y = A x for a 3D constant-interior stencil; x (..., X, Y, Z)."""
     grid = x.shape[-3:]
     lead = x.shape[:-3]
-    fx, fy, fz = faces
+    fx, fyq, fzq = faces[:3]
     xr = x.reshape((-1,) + grid)
-    fn = lambda v: _matvec_one(const, fx, fy, fz, v,
+    fn = lambda v: _matvec_one(const, fx, fyq, fzq, v,
                                tuple(map(tuple, offsets)), w, interpret)
     if xr.shape[0] == 1:
         out = fn(xr[0])[None]

@@ -35,21 +35,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .const3d import _BX, _apply_xband, fx_narrow
+from .const3d import _BX, _apply_xband, _xband_rows, fx_narrow, \
+    inkernel_xband, main_ytap, main_ztap, tap_accum, xband_row
 
-__all__ = ["residual3d", "jacobi3d", "jacobi_residual3d"]
-
-
-def _roll_yz(p, dy, dz, Y, Z):
-    if dy:
-        p = pltpu.roll(p, np.int32(-dy % Y), axis=1)
-    if dz:
-        p = pltpu.roll(p, np.int32(-dz % Z), axis=2)
-    return p
+__all__ = ["residual3d", "jacobi3d", "jacobi_corr3d", "jacobi_residual3d"]
 
 
-def _fused_kernel(offsets, w, nb, do_jac, c_ref, fy_ref, fz_ref,
-                  xm_ref, x0_ref, xp_ref, b_ref, *rest):
+def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, c_ref, fy_ref, fz_ref,
+                  *rest):
+    if xb is not None:                 # in-kernel x-band fold (fx_narrow)
+        fxn_ref, *rest = rest          # fxn comes RIGHT AFTER fz (specs)
+    xm_ref, x0_ref, xp_ref, *rest = rest
+    if has_p:
+        pm_ref, p0_ref, pp_ref, b_ref, *rest = rest
+    else:
+        b_ref, *rest = rest
     if do_jac:
         d_ref, out_ref, ax_ref = rest
     else:
@@ -59,26 +59,24 @@ def _fused_kernel(offsets, w, nb, do_jac, c_ref, fy_ref, fz_ref,
     Y, Z = cur.shape[1], cur.shape[2]
     top = jnp.where(i > 0, xm_ref[:], jnp.zeros_like(cur[:1]))
     bot = jnp.where(i < nb - 1, xp_ref[:], jnp.zeros_like(cur[:1]))
+    if has_p:
+        # coarse-correction fold: the smoothed iterate is s = x + p; add p
+        # to the block AND its halo planes before the taps read them
+        cur = cur + p0_ref[:]
+        top = top + jnp.where(i > 0, pm_ref[:], jnp.zeros_like(cur[:1]))
+        bot = bot + jnp.where(i < nb - 1, pp_ref[:], jnp.zeros_like(cur[:1]))
     planes = {
         -1: jnp.concatenate([top, cur[:-1]], axis=0),
         0: cur,
         1: jnp.concatenate([cur[1:], bot], axis=0),
     }
-    acc = jnp.zeros_like(cur)
-    zlo = jnp.zeros(cur.shape[:2] + (w,), cur.dtype)
-    zhi = jnp.zeros(cur.shape[:2] + (w,), cur.dtype)
-    ylo = jnp.zeros((cur.shape[0], w, Z), cur.dtype)
-    yhi = jnp.zeros((cur.shape[0], w, Z), cur.dtype)
-    for k, (dx, dy, dz) in enumerate(offsets):
-        p = _roll_yz(planes[dx], dy, dz, Y, Z)
-        acc = acc + c_ref[k] * p
-        zlo = zlo + p[:, :, :w] * jnp.moveaxis(fz_ref[k, :w], 0, 2)
-        zhi = zhi + p[:, :, Z - w:] * jnp.moveaxis(fz_ref[k, w:], 0, 2)
-        ylo = ylo + p[:, :w, :] * jnp.moveaxis(fy_ref[k, :w], 0, 1)
-        yhi = yhi + p[:, Y - w:, :] * jnp.moveaxis(fy_ref[k, w:], 0, 1)
+    acc, zlo, zhi, ylo, yhi = tap_accum(
+        lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
+        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype)
     ax_ref[:] = acc
-    ax_ref[:, :, :w] = zlo
-    ax_ref[:, :, Z - w:] = zhi
+    for c in range(w):
+        ax_ref[:, :, c:c + 1] = zlo[c]
+        ax_ref[:, :, Z - w + c:Z - w + c + 1] = zhi[c]
     ax_ref[:, :w, :] = ylo
     ax_ref[:, Y - w:, :] = yhi
     r = b_ref[:] - ax_ref[:]
@@ -86,11 +84,26 @@ def _fused_kernel(offsets, w, nb, do_jac, c_ref, fy_ref, fz_ref,
         out_ref[:] = cur + d_ref[:] * r
     else:
         out_ref[:] = r
+    if xb is not None:
+        # exact x-band rows, written LAST (fx carries TRUE coefficients on
+        # the whole row, corners included)
+        def _fix(sel, slot):
+            axr = xband_row(lambda dx: sel(planes[dx]), fxn_ref, slot,
+                            offsets, cur.shape[1], cur.shape[2], cur.dtype)
+            rr = sel(b_ref[:]) - axr
+            return sel(cur) + sel(d_ref[:]) * rr if do_jac else rr
+
+        for blk_i, off_r, slot in xb:
+            @pl.when(i == blk_i)
+            def _row(off_r=off_r, slot=slot):
+                out_ref[off_r:off_r + 1] = _fix(
+                    lambda a: a[off_r:off_r + 1], slot)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "w", "do_jac", "interpret"))
-def _fused_one(const, fx, fy, fz, x, b, d, offsets, w, do_jac, interpret):
+def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
+               interpret):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
@@ -98,27 +111,40 @@ def _fused_one(const, fx, fy, fz, x, b, d, offsets, w, do_jac, interpret):
     xq = jnp.pad(x, padX) if Xp != X else x
     bq = jnp.pad(b, padX) if Xp != X else b
     nb = Xp // _BX
-    kern = functools.partial(_fused_kernel, offsets, w, nb, do_jac)
+    has_p = p is not None
+    fold = inkernel_xband()
+    xb = _xband_rows(X, w) if fold else None
+    kern = functools.partial(_fused_kernel, offsets, w, nb, do_jac, has_p,
+                             xb)
     blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
                                    lambda i: (jnp.int32(f(i)), 0, 0),
                                    memory_space=pltpu.VMEM)
+    im1 = lambda i: jnp.maximum(i * _BX - 1, 0)
+    ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((nd, 2 * w, _BX, Z), lambda i: (0, 0, jnp.int32(i), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
                      memory_space=pltpu.VMEM),
-        plane(lambda i: jnp.maximum(i * _BX - 1, 0)),
-        blk(),
-        plane(lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)),
-        blk(),
     ]
-    ops = [const,
-           jnp.pad(fy, ((0, 0), (0, 0), (0, Xp - X), (0, 0))),
-           jnp.pad(fz, ((0, 0), (0, 0), (0, Xp - X), (0, 0))),
-           xq, xq, xq, bq]
+    ops = [const, fyq, fzq]
+    if fold:
+        # constant-index block: fetched once, stays VMEM-resident
+        in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),
+                                     lambda i: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        ops.append(fx_narrow(fx, w))
+    in_specs += [plane(im1), blk(), plane(ip1)]
+    ops += [xq, xq, xq]
+    if has_p:
+        pq = jnp.pad(p, padX) if Xp != X else p
+        in_specs += [plane(im1), blk(), plane(ip1)]
+        ops += [pq, pq, pq]
+    in_specs.append(blk())
+    ops.append(bq)
     if do_jac:
         in_specs.append(blk())
         ops.append(jnp.pad(d, padX) if Xp != X else d)
@@ -133,10 +159,15 @@ def _fused_one(const, fx, fy, fz, x, b, d, offsets, w, do_jac, interpret):
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
         )(*ops)[:X]
+    if fold:                        # x bands already exact in-kernel
+        return out
 
     # x-band fix: exact values on the first/last w planes, written
-    # in-place by the aliased row kernel (const3d._apply_xband)
-    out = _apply_xband(out, x, b, d if d is not None else jnp.zeros_like(x),
+    # in-place by the aliased row kernel (const3d._apply_xband).  With the
+    # correction fold the smoothed iterate is s = x + p; XLA fuses the add
+    # into the band-row slices, so only the 6 needed planes materialise.
+    s = x + p if has_p else x
+    out = _apply_xband(out, s, b, d if d is not None else jnp.zeros_like(x),
                        fx_narrow(fx, w), offsets, w,
                        "jacobi" if do_jac else "residual", interpret)
     return out
@@ -186,32 +217,17 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
         # ytap(k) -> (ylo_c, yhi_c) each (n, w, Z); ztap(k) -> (zlo_c,
         # zhi_c) each (n, Y, w).  Pre-shaped by the caller so halo slabs
         # (stored x-leading for Mosaic block tiling) need no in-kernel
-        # transposes.
-        acc = jnp.zeros((n, Y, Z), cur.dtype)
-        zlo = jnp.zeros((n, Y, w), cur.dtype)
-        zhi = jnp.zeros((n, Y, w), cur.dtype)
-        ylo = jnp.zeros((n, w, Z), cur.dtype)
-        yhi = jnp.zeros((n, w, Z), cur.dtype)
-        for k, (dx, dy, dz) in enumerate(offsets):
-            p = _roll_yz(planes_of(dx, k), dy, dz, Y, Z)
-            acc = acc + c_ref[k] * p
-            zlo_c, zhi_c = ztap(k)
-            ylo_c, yhi_c = ytap(k)
-            zlo = zlo + p[:, :, :w] * zlo_c
-            zhi = zhi + p[:, :, Z - w:] * zhi_c
-            ylo = ylo + p[:, :w, :] * ylo_c
-            yhi = yhi + p[:, Y - w:, :] * yhi_c
-        return acc, zlo, zhi, ylo, yhi
+        # transposes.  Tap schedule: const3d.tap_accum (dz-grouped rolls).
+        return tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n,
+                         Y, Z, cur.dtype)
 
     def _tap_main_y(ref):
         # main fy block: ref[k] is (2w, B, Z) -> pair of (B, w, Z)
-        return lambda k: (jnp.moveaxis(ref[k][:w], 0, 1),
-                          jnp.moveaxis(ref[k][w:], 0, 1))
+        return main_ytap(ref, w)
 
     def _tap_main_z(ref):
         # main fz block: ref[k] is (2w, B, Y) -> pair of (B, Y, w)
-        return lambda k: (jnp.moveaxis(ref[k][:w], 0, 2),
-                          jnp.moveaxis(ref[k][w:], 0, 2))
+        return main_ztap(ref, w)
 
     def _tap_halo_y(ref):
         # x-leading slab (1, nd, 2w, Z): ref[0, k] is (2w, Z) -> (1, w, Z)
@@ -225,20 +241,21 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
         # static slice bounds only — Mosaic lowers static partial stores
         acc, zlo, zhi, ylo, yhi = parts
         ref[a:b2] = acc
-        ref[a:b2, :, :w] = zlo
-        ref[a:b2, :, Z - w:] = zhi
+        for c in range(w):
+            ref[a:b2, :, c:c + 1] = zlo[c]
+            ref[a:b2, :, Z - w + c:Z - w + c + 1] = zhi[c]
         ref[a:b2, :w, :] = ylo
         ref[a:b2, Y - w:, :] = yhi
 
     # stage A: band-corrected A x on planes [iB-1, iB+B]
     _store(ax_ref, 1, B + 1,
-           _accum(lambda dx, k: planes[dx],
+           _accum(lambda dx: planes[dx],
                   _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
     _store(ax_ref, 0, 1,
-           _accum(lambda dx, k: lo[dx],
+           _accum(lambda dx: lo[dx],
                   _tap_halo_y(fym_ref), _tap_halo_z(fzm_ref), 1))
     _store(ax_ref, B + 1, B + 2,
-           _accum(lambda dx, k: hi[dx],
+           _accum(lambda dx: hi[dx],
                   _tap_halo_y(fyp_ref), _tap_halo_z(fzp_ref), 1))
     xe = jnp.concatenate([xm1, cur, xp1], axis=0)       # (B+2, Y, Z)
     be = jnp.concatenate([bm, b_ref[:], bp], axis=0)
@@ -249,13 +266,14 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
     # stage B: r' = b - A x' on the block interior (x' halos from scratch)
     x1e = x1s_ref[:]
     _store(ax_ref, 1, B + 1,
-           _accum(lambda dx, k: x1e[1 + dx:1 + dx + B],
+           _accum(lambda dx: x1e[1 + dx:1 + dx + B],
                   _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
     r1_ref[:] = b_ref[:] - ax_ref[1:B + 1]
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "w", "interpret"))
-def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
+def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
+                interpret):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
@@ -284,10 +302,8 @@ def _jacres_one(const, fx, fy, fz, x, b, d, offsets, w, interpret):
     im2 = lambda i: jnp.maximum(i * _BX - 2, 0)
     ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
     ip2 = lambda i: jnp.minimum(i * _BX + _BX + 1, Xp - 1)
-    fyq = jnp.pad(fy, ((0, 0), (0, 0), (0, Xp - X), (0, 0)))
-    fzq = jnp.pad(fz, ((0, 0), (0, 0), (0, Xp - X), (0, 0)))
-    fyq_t = jnp.transpose(fyq, (2, 0, 1, 3))    # (Xp, nd, 2w, Z)
-    fzq_t = jnp.transpose(fzq, (2, 0, 3, 1))    # (Xp, nd, Y, 2w)
+    # fyq/fzq (padded) and fyq_t/fzq_t (x-leading transposed, (Xp, nd, 2w,
+    # Z) / (Xp, nd, Y, 2w)) are precomputed at setup (const3d.build_faces)
     with jax.enable_x64(False):       # see const3d: Mosaic x64 limitation
         x1k, r1k = pl.pallas_call(
             kern,
@@ -344,8 +360,9 @@ def _batched(fn, *fields):
 def residual3d(A, b, x, interpret: bool = False):
     """r = b - A x (exact), one fused pass; fields (..., X, Y, Z)."""
     w = A.boxes[0][1][0]
-    fn = lambda xx, bb: _fused_one(A.const, *A.faces, xx, bb, None,
-                                   tuple(map(tuple, A.offsets)), w,
+    fx, fyq, fzq = A.faces[:3]
+    fn = lambda xx, bb: _fused_one(A.const, fx, fyq, fzq, xx, bb, None,
+                                   None, tuple(map(tuple, A.offsets)), w,
                                    False, interpret)
     return _batched(fn, x, b)
 
@@ -353,11 +370,25 @@ def residual3d(A, b, x, interpret: bool = False):
 def jacobi3d(A, d, b, x, interpret: bool = False):
     """x' = x + d .* (b - A x) (exact), one fused pass."""
     w = A.boxes[0][1][0]
+    fx, fyq, fzq = A.faces[:3]
 
     def fn(xx, bb):
-        return _fused_one(A.const, *A.faces, xx, bb, d,
+        return _fused_one(A.const, fx, fyq, fzq, xx, bb, d, None,
                           tuple(map(tuple, A.offsets)), w, True, interpret)
     return _batched(fn, x, b)
+
+
+def jacobi_corr3d(A, d, b, x, p, interpret: bool = False):
+    """x' = s + d .* (b - A s) with s = x + p (exact), one fused pass —
+    the V-cycle's coarse-correction add + first post-smooth sweep without
+    materialising s (saves one full-field read+write per cycle)."""
+    w = A.boxes[0][1][0]
+    fx, fyq, fzq = A.faces[:3]
+
+    def fn(xx, bb, pp):
+        return _fused_one(A.const, fx, fyq, fzq, xx, bb, d, pp,
+                          tuple(map(tuple, A.offsets)), w, True, interpret)
+    return _batched(fn, x, b, p)
 
 
 def jacobi_residual3d(A, d, b, x, interpret: bool = False):

@@ -28,14 +28,43 @@ def small_kernels(monkeypatch):
 
 
 def _op(n):
-    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+    dims = [n, n, n] if np.isscalar(n) else list(n)
+    M = get_regular_mesh([0.0, 1.0] * 3, dims)
     L = nodal_laplacian_matrix(M)
     L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])
          ).tocsr().astype(np.float32)
     from mgtpu.ops.grid_stencil import make_grid_stencil
-    A = make_grid_stencil(L, [n + 1] * 3)
+    A = make_grid_stencil(L, [d + 1 for d in dims])
     assert A.faces is not None
     return L, A
+
+
+def test_fused3d_noncubic_exact(small_kernels):
+    """Distinct X/Y/Z extents (odd and even mixed): catches axis mix-ups
+    in the grouped tap schedule (dz-group rolls, band slices) that every
+    cubic-grid test is blind to."""
+    from mgtpu.ops.pallas.fused3d import (residual3d, jacobi_corr3d,
+                                          jacobi_residual3d)
+    L, A = _op((18, 24, 30))        # grids (19, 25, 31)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    p = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    os.environ["MGTPU_PALLAS3D"] = "off"     # XLA reference matvec
+    r_ref = b - A.matvec(x)
+    s = x + p
+    xc_ref = s + d * (b - A.matvec(s))
+    x1_ref = x + d * (b - A.matvec(x))
+    r1_ref = b - A.matvec(x1_ref)
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    r = residual3d(A, b, x, interpret=True)
+    assert float(jnp.abs(r - r_ref).max() / jnp.abs(r_ref).max()) < 2e-5
+    xc = jacobi_corr3d(A, d, b, x, p, interpret=True)
+    assert float(jnp.abs(xc - xc_ref).max() / jnp.abs(xc_ref).max()) < 2e-5
+    x1, r1 = jacobi_residual3d(A, d, b, x, interpret=True)
+    assert float(jnp.abs(x1 - x1_ref).max() / jnp.abs(x1_ref).max()) < 2e-5
+    assert float(jnp.abs(r1 - r1_ref).max() / jnp.abs(r1_ref).max()) < 1e-4
 
 
 @pytest.mark.parametrize("n", [16, 24])
@@ -65,6 +94,23 @@ def test_fused3d_ops_exact(small_kernels):
                  / jnp.abs(xj_ref).max()) < 2e-5
 
 
+def test_jacobi_corr3d_exact(small_kernels):
+    """Correction-fold fusion x' = s + d(b - As), s = x + p vs composed."""
+    from mgtpu.ops.pallas.fused3d import jacobi_corr3d
+    L, A = _op(24)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    p = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    os.environ["MGTPU_PALLAS3D"] = "off"     # XLA reference matvec
+    s = x + p
+    ref = s + d * (b - A.matvec(s))
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    out = jacobi_corr3d(A, d, b, x, p, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 2e-5
+
+
 @pytest.mark.parametrize("n", [16, 24])
 @pytest.mark.parametrize("m", [1, 2])
 def test_jacobi_residual3d_exact(small_kernels, n, m):
@@ -85,7 +131,13 @@ def test_jacobi_residual3d_exact(small_kernels, n, m):
     assert float(jnp.abs(r1 - r1_ref).max() / sc) < 1e-4
 
 
-def test_fused3d_cycle_matches_xla(small_kernels):
+@pytest.mark.parametrize("cycle_type,nu_pre,nu_post,levels", [
+    ("V", 2, 1, 2),      # corr-fold + plain post-smooth
+    ("W", 1, 2, 3),      # recursive coarse visits re-enter the fold
+    ("V", 1, 0, 2),      # nu_post=0: the plain x+p branch
+])
+def test_fused3d_cycle_matches_xla(small_kernels, cycle_type, nu_pre,
+                                   nu_post, levels):
     from mgtpu import get_mg_param, mg_setup
     from mgtpu.cycle.grid_cycle import grid_cycle
     from mgtpu.ops.grid_stencil import flat_to_grid
@@ -93,8 +145,9 @@ def test_fused3d_cycle_matches_xla(small_kernels):
     M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
     L = nodal_laplacian_matrix(M)
     L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])).tocsr()
-    cfg, rp = get_mg_param(levels=2, relax_type="jacobi", relax_param=0.8,
-                           nu_pre=2, nu_post=1, dtype=np.float32)
+    cfg, rp = get_mg_param(levels=levels, cycle_type=cycle_type,
+                           relax_type="jacobi", relax_param=0.8,
+                           nu_pre=nu_pre, nu_post=nu_post, dtype=np.float32)
     os.environ["MGTPU_PALLAS3D"] = "off"
     st_ref = mg_setup(L, M, cfg, rp)
     os.environ["MGTPU_PALLAS3D"] = "interpret"
@@ -110,3 +163,110 @@ def test_fused3d_cycle_matches_xla(small_kernels):
     y_fus = np.asarray(grid_cycle(cfg, st_fus.hier, b, x0))
     d = np.abs(y_fus - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
     assert d < 1e-5, d
+
+
+@pytest.mark.slow
+def test_pertap_schedule_fallback_subprocess():
+    """MGTPU_PALLAS3D_GROUPED=0 (emergency per-tap roll schedule) stays
+    exact.  The knob is read at trace time and is not a jit cache key, so
+    it only takes effect in a fresh process — run the check there."""
+    import subprocess
+    import sys
+    code = """
+import os
+os.environ["MGTPU_PALLAS3D_GROUPED"] = "0"
+os.environ["MGTPU_PALLAS3D_MIN"] = "1"      # build faces at test sizes
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+from mgtpu import get_regular_mesh
+from mgtpu.models.operators import nodal_laplacian_matrix
+from mgtpu.ops.grid_stencil import make_grid_stencil
+from mgtpu.ops.pallas.fused3d import jacobi_residual3d
+n = 24
+M = get_regular_mesh([0.0, 1.0] * 3, [n, n, n])
+L = nodal_laplacian_matrix(M)
+L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])
+     ).tocsr().astype(np.float32)
+A = make_grid_stencil(L, [n + 1] * 3)
+assert A.faces is not None
+rng = np.random.RandomState(5)
+x = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+b = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+os.environ["MGTPU_PALLAS3D"] = "off"
+x1_ref = x + d * (b - A.matvec(x))
+r1_ref = b - A.matvec(x1_ref)
+x1, r1 = jacobi_residual3d(A, d, b, x, interpret=True)
+assert float(jnp.abs(x1 - x1_ref).max() / jnp.abs(x1_ref).max()) < 2e-5
+assert float(jnp.abs(r1 - r1_ref).max() / jnp.abs(r1_ref).max()) < 1e-4
+print("PERTAP-OK")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PERTAP-OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_inkernel_xband_fold_subprocess():
+    """MGTPU_PALLAS3D_XBAND=fold (x-band rows computed inside the main
+    kernels — no separate aliased row kernel) stays exact for matvec,
+    residual, jacobi and the correction fold.  Trace-time knob, so run in
+    a fresh process; non-cubic odd/even grid to catch axis mix-ups."""
+    import subprocess
+    import sys
+    code = """
+import os
+os.environ["MGTPU_PALLAS3D_XBAND"] = "fold"
+os.environ["MGTPU_PALLAS3D_MIN"] = "1"      # build faces at test sizes
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+from mgtpu import get_regular_mesh
+from mgtpu.models.operators import nodal_laplacian_matrix
+from mgtpu.ops.grid_stencil import make_grid_stencil
+from mgtpu.ops.pallas.fused3d import residual3d, jacobi3d, jacobi_corr3d
+# second dims tuple: grid X = 25 (== 1 mod 8) puts the two hi band rows in
+# DIFFERENT blocks (23 -> block 2 row 7, 24 -> block 3 row 0) at w=2
+for dims in ([18, 24, 30], [30, 18, 24]):
+  M = get_regular_mesh([0.0, 1.0] * 3, dims)
+  L = nodal_laplacian_matrix(M)
+  L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])
+       ).tocsr().astype(np.float32)
+  A = make_grid_stencil(L, [d + 1 for d in dims])
+  assert A.faces is not None
+  rng = np.random.RandomState(9)
+  x = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+  p = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+  b = jnp.asarray(rng.rand(2, *A.grid).astype(np.float32))
+  d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+  os.environ["MGTPU_PALLAS3D"] = "off"
+  y_ref = A.matvec(x)
+  r_ref = b - y_ref
+  xj_ref = x + d * r_ref
+  s = x + p
+  xc_ref = s + d * (b - A.matvec(s))
+  os.environ["MGTPU_PALLAS3D"] = "interpret"
+  from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+  w = A.boxes[0][1][0]     # true band width (2 for the nodal Laplacian)
+  y = const3d_matvec_pallas(A.const, A.faces, A.offsets, x, w, interpret=True)
+  assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 2e-5
+  r = residual3d(A, b, x, interpret=True)
+  assert float(jnp.abs(r - r_ref).max() / jnp.abs(r_ref).max()) < 2e-5
+  xj = jacobi3d(A, d, b, x, interpret=True)
+  assert float(jnp.abs(xj - xj_ref).max() / jnp.abs(xj_ref).max()) < 2e-5
+  xc = jacobi_corr3d(A, d, b, x, p, interpret=True)
+  assert float(jnp.abs(xc - xc_ref).max() / jnp.abs(xc_ref).max()) < 2e-5
+print("XBANDFOLD-OK")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "XBANDFOLD-OK" in out.stdout

@@ -51,9 +51,9 @@ def _mk3d(X, Y, Z, w=1, seed=0):
     offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
             for dz in (-1, 0, 1)]
     coeff = rng.standard_normal((len(offs), X, Y, Z)).astype(np.float32)
-    fx, fy, fz = build_faces(coeff, w)
+    faces = build_faces(coeff, w)       # (fx, fyq, fzq, fyq_t, fzq_t)
     const = coeff[:, X // 2, Y // 2, Z // 2].copy()
-    return offs, const, (fx, fy, fz), rng
+    return offs, const, faces, rng
 
 
 @gate("const3d_matvec")
@@ -88,7 +88,9 @@ def smoke_fused3d():
     d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
     r = f3k.residual3d(a, b, x, interpret=False)
     x1 = f3k.jacobi3d(a, d, b, x, interpret=False)
-    assert np.isfinite(float(jnp.sum(r) + jnp.sum(x1)))
+    p = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    x2 = f3k.jacobi_corr3d(a, d, b, x, p, interpret=False)
+    assert np.isfinite(float(jnp.sum(r) + jnp.sum(x1) + jnp.sum(x2)))
 
 
 @gate("fused3d_jacobi_residual")
@@ -110,6 +112,124 @@ def smoke_jacres():
     d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
     x1, r1 = f3k.jacobi_residual3d(a, d, b, x, interpret=False)
     assert np.isfinite(float(jnp.sum(x1) + jnp.sum(r1)))
+
+
+def _stencil(X, Y, Z, w, seed):
+    """Bench-like grid stencil object at band width w."""
+    import jax.numpy as jnp
+    offs, const, faces, rng = _mk3d(X, Y, Z, w=w, seed=seed)
+
+    class A:
+        pass
+    a = A()
+    a.const = jnp.asarray(const)
+    a.faces = tuple(map(jnp.asarray, faces))
+    a.offsets = np.array(offs)
+    a.boxes = [((0, 0, 0), (w, 1, 1))]
+    return a, rng
+
+
+def _close(u, v, tol=2e-4):
+    import jax.numpy as jnp
+    num = float(jnp.abs(u - v).max())
+    den = max(float(jnp.abs(v).max()), 1e-30)
+    assert num / den < tol, num / den
+
+
+@gate("kernels_w2_exact")
+def smoke_w2():
+    """Band width 2 — the width of the REAL bench operator (the nodal
+    Laplacian's non-constant boundary band).  Lower AND check compiled
+    numerics against the interpret (XLA-op) execution of the same math."""
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    X, Y, Z = 129, 132, 131
+    a, rng = _stencil(X, Y, Z, w=2, seed=3)
+    x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    mv = lambda i: const3d_matvec_pallas(a.const, a.faces, a.offsets, x, 2,
+                                         interpret=i)
+    _close(mv(False), mv(True))
+    _close(f3k.residual3d(a, b, x, interpret=False),
+           f3k.residual3d(a, b, x, interpret=True))
+    _close(f3k.jacobi_corr3d(a, d, b, x, p, interpret=False),
+           f3k.jacobi_corr3d(a, d, b, x, p, interpret=True))
+    x1, r1 = f3k.jacobi_residual3d(a, d, b, x, interpret=False)
+    x1i, r1i = f3k.jacobi_residual3d(a, d, b, x, interpret=True)
+    _close(x1, x1i)
+    _close(r1, r1i)
+
+
+@gate("xband_fold")
+def smoke_fold():
+    """MGTPU_PALLAS3D_XBAND=fold (in-kernel x-band rows): lower + compiled
+    vs interpret numerics at w=2 (trace-time knob; distinct shapes force a
+    fresh trace in this process)."""
+    import os
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    os.environ["MGTPU_PALLAS3D_XBAND"] = "fold"
+    try:
+        X, Y, Z = 131, 130, 129
+        a, rng = _stencil(X, Y, Z, w=2, seed=4)
+        x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+        p = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+        mv = lambda i: const3d_matvec_pallas(a.const, a.faces, a.offsets,
+                                             x, 2, interpret=i)
+        _close(mv(False), mv(True))
+        _close(f3k.jacobi_corr3d(a, d, b, x, p, interpret=False),
+               f3k.jacobi_corr3d(a, d, b, x, p, interpret=True))
+    finally:
+        os.environ.pop("MGTPU_PALLAS3D_XBAND", None)
+
+
+@gate("tridiag_line_solve")
+def smoke_tridiag():
+    """Lower AND check exactness vs the XLA doubling scan on the chip
+    (both line axes at 257^2 f32 + one 3D axis; odd extents -> padding)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from mgtpu import get_regular_mesh
+    from mgtpu.setup.smoothers import line_prec
+    from mgtpu.cycle.relax import line_solve
+    from mgtpu.ops.pallas.tridiag import line_solve_pallas, \
+        line_correct_pallas
+    rng = np.random.default_rng(4)
+
+    def check(A, M, shape, axes):
+        r = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        for ax in axes:
+            lr = line_prec(A, M, 0.9, dtype=np.float32, axis=ax)
+            ref = np.asarray(x + lr.omega * line_solve(lr, r))
+            got = np.asarray(line_correct_pallas(lr, r, x, interpret=False))
+            err = np.abs(got - ref).max() / np.abs(ref).max()
+            assert err < 2e-4, (shape, ax, err)
+            s = np.asarray(line_solve_pallas(lr, r, interpret=False))
+            assert np.isfinite(s).all()
+
+    n = 256
+    N = n + 1
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N, N)) * (n ** 2)
+    I = sp.identity(N)
+    A2 = sp.csr_matrix(10.0 * sp.kron(I, T) + sp.kron(T, I))
+    M2 = get_regular_mesh([0.0, 1.0] * 2, [n, n])
+    check(A2, M2, (N, N), (0, 1))
+    n3 = 32
+    N3 = n3 + 1
+    T3 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(N3, N3)) * (n3 ** 2)
+    I3 = sp.identity(N3)
+    A3 = sp.csr_matrix(20.0 * sp.kron(sp.kron(T3, I3), I3)
+                       + sp.kron(sp.kron(I3, T3), I3)
+                       + sp.kron(sp.kron(I3, I3), T3))
+    M3 = get_regular_mesh([0.0, 1.0] * 3, [n3, n3, n3])
+    check(A3, M3, (N3, N3, N3), (0, 2))
 
 
 @gate("stencil_kernel_2d")
@@ -160,7 +280,8 @@ def main(argv):
         print("[tpu-smoke] ERROR: not a TPU backend — this gate must run "
               "on the real chip", flush=True)
         return 2
-    smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_stencil2d]
+    smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_w2,
+              smoke_fold, smoke_tridiag, smoke_stencil2d]
     if "--fast" not in argv:
         smokes.append(smoke_cycle3d)
     for s in smokes:
