@@ -176,9 +176,15 @@ def main():
     # driver ALWAYS gets its one JSON line.
     wait = float(os.environ.get("MGTPU_BENCH_WAIT", "420"))
     t_gate = time.perf_counter()
-    _wait_backend(max(wait, float(os.environ.get("MGTPU_BENCH_INIT_WAIT",
-                                                 "1500"))))
-    probe0 = _wait_healthy(max(60.0, wait - (time.perf_counter() - t_gate)))
+    # HARD gate: if the out-of-process probe never sees a chip grant, any
+    # in-process backend touch (even _probe_ms) can hang indefinitely on
+    # this rig's relay — skip ALL sections and still print the JSON line
+    # (the always-print contract must survive a wedged chip, not just a
+    # section exception)
+    backend_up = _wait_backend(
+        max(wait, float(os.environ.get("MGTPU_BENCH_INIT_WAIT", "1500"))))
+    probe0 = (_wait_healthy(max(60.0, wait - (time.perf_counter() - t_gate)))
+              if backend_up else float("inf"))
     # budget clock starts AFTER the health wait: waiting out a co-tenant
     # squall must not eat the section budget
     T0 = time.perf_counter()
@@ -459,18 +465,24 @@ def main():
     # the 3D cycle numbers must land in every round's JSON even when the
     # shared chip is contended (r3 lesson: 3D gated at min_left=120 after
     # optional sections never ran, wall 766 s on a 450 s budget)
-    section("setup2d", sec_setup2d)
-    section("replace", sec_replace)
-    section("headline", sec_headline)
-    section("poisson3d", sec_3d)
-    section("relres", sec_relres)
-    section("refined", sec_refined)
-    section("cheb", sec_cheb)
-    section("vanka", sec_vanka, min_left=120)
-    section("sa_amg", sec_sa, min_left=120)
-    section("multirhs", sec_m8, min_left=60)
-    section("host_baseline", sec_host)
-    section("flat_engine", sec_flat, min_left=60)
+    if backend_up:
+        section("setup2d", sec_setup2d)
+        section("replace", sec_replace)
+        section("headline", sec_headline)
+        section("poisson3d", sec_3d)
+        section("relres", sec_relres)
+        section("refined", sec_refined)
+        section("cheb", sec_cheb)
+        section("vanka", sec_vanka, min_left=120)
+        section("sa_amg", sec_sa, min_left=120)
+        section("multirhs", sec_m8, min_left=60)
+        section("host_baseline", sec_host)
+        section("flat_engine", sec_flat, min_left=60)
+    else:
+        errors["backend"] = (
+            f"chip grant unavailable after "
+            f"{time.perf_counter() - t_gate:.0f}s of out-of-process probing"
+            " — all device sections skipped (wedged-relay protection)")
 
     def r(v, nd=4):
         return None if v is None else round(v, nd)
