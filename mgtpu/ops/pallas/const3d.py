@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["supports_const3d", "build_faces", "fx_narrow",
            "const3d_matvec_pallas"]
 
-_BX = 8
+# X-axis block rows per grid step.  8 = one sublane tile; larger blocks
+# amortise the per-block halo concats and grid overhead at more VMEM
+# (A/B knob: read ONCE at import so setup-built face padding and kernel
+# BlockSpecs always agree within a process).
+import os as _os
+_BX = int(_os.environ.get("MGTPU_PALLAS3D_BX", "8"))
 
 
 def supports_const3d(offsets, grid, dtype) -> bool:
