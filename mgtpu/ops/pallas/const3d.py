@@ -72,20 +72,30 @@ def supports_const3d(offsets, grid, dtype) -> bool:
 
 def build_faces(coeff: np.ndarray, w: int):
     """Face coefficient arrays from the dense (nd, X, Y, Z) host
-    coefficients: (fx (nd, 4w, Y, Z), fyq (nd, 2w, Xp, Z),
+    coefficients.  Two forms:
+
+    COMPACT (3-tuple, the common case): (fx (nd, 4w, Y, Z),
+    fyc (nd, 2w, 1, Z), fzc (nd, 2w, 1, Y)).  For a constant-interior
+    operator the y/z band coefficients can vary with x only inside the x
+    band — and the x-band rows are always overwritten by the exact-row fix
+    (fx taps).  When that invariance holds on the consumed rows
+    (w..X-w-1; checked exactly), ONE representative row suffices: the
+    kernels fetch it once as a constant-index VMEM-resident block instead
+    of streaming an (nd, 2w, Xp, .) array per call — at 129^3 w=2 this
+    removes ~16 MB of HBM reads from every fused kernel call (the single
+    biggest byte stream after the fields themselves) and makes the
+    double-apply halo slabs (fyq_t/fzq_t transposes) unnecessary.
+
+    GENERAL (5-tuple fallback, x-varying bands): (fx, fyq (nd, 2w, Xp, Z),
     fzq (nd, 2w, Xp, Y), fyq_t (Xp, nd, 2w, Z), fzq_t (Xp, nd, Y, 2w));
-    band axis off the minor dims so a w-wide slab never lane-pads.
+    fyq/fzq pre-padded to the _BX-multiple X extent and fyq_t/fzq_t
+    pre-transposed to the x-leading layout the double-apply halo slabs
+    need (hoisted to setup r3; ROADMAP item 2a).
 
     fx carries 2w planes per side (not w): the fused double-apply kernel
     (fused3d.jacobi_residual3d) needs exact row taps on 2w planes — its
     second apply reads the x-band-corrected smoother output one plane in.
-    Single-apply kernels slice the inner w planes via `fx_narrow`.
-
-    fyq/fzq are pre-PADDED to the _BX-multiple X extent and fyq_t/fzq_t
-    pre-TRANSPOSED to the x-leading layout the double-apply kernel's halo
-    slabs need — these are constant per operator, so hoisting them to
-    setup removes ~4 pad passes + 2 relayouts (~30 MB of HBM traffic at
-    129^3) from EVERY fused kernel call (r3; ROADMAP item 2a)."""
+    Single-apply kernels slice the inner w planes via `fx_narrow`."""
     X = coeff.shape[1]
     Xp = -(-X // _BX) * _BX
     fx = np.concatenate([coeff[:, :2 * w], coeff[:, -2 * w:]], axis=1)
@@ -93,6 +103,13 @@ def build_faces(coeff: np.ndarray, w: int):
                                     axis=2), 2, 1)
     fz = np.moveaxis(np.concatenate([coeff[:, :, :, :w], coeff[:, :, :, -w:]],
                                     axis=3), 3, 1)
+    compact_ok = _os.environ.get("MGTPU_PALLAS3D_COMPACT", "1") != "0"
+    if X > 2 * w and compact_ok:
+        yc = fy[:, :, w:X - w]
+        zc = fz[:, :, w:X - w]
+        if ((yc == yc[:, :, :1]).all() and (zc == zc[:, :, :1]).all()):
+            return (fx, np.ascontiguousarray(yc[:, :, :1]),
+                    np.ascontiguousarray(zc[:, :, :1]))
     padX = ((0, 0), (0, 0), (0, Xp - X), (0, 0))
     fyq = np.pad(fy, padX)
     fzq = np.pad(fz, padX)
@@ -240,15 +257,38 @@ def _tap_accum_pertap(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z,
 
 
 def main_ytap(fy_ref, w):
-    """Main-block fy taps: fy_ref[k] (2w, B, Z) -> ((B, w, Z) lo, hi)."""
+    """Main-block fy taps: fy_ref[k] (2w, B, Z) -> ((B, w, Z) lo, hi).
+    Compact faces (B == 1) broadcast against the (n, w, Z) accumulators."""
     return lambda k: (jnp.moveaxis(fy_ref[k, :w], 0, 1),
                       jnp.moveaxis(fy_ref[k, w:], 0, 1))
 
 
 def main_ztap(fz_ref, w):
-    """Main-block fz taps: fz_ref[k] (2w, B, Y) -> ((B, Y, w) lo, hi)."""
+    """Main-block fz taps: fz_ref[k] (2w, B, Y) -> ((B, Y, w) lo, hi).
+    Compact faces (B == 1) broadcast against the (n, Y, w) accumulators."""
     return lambda k: (jnp.moveaxis(fz_ref[k, :w], 0, 2),
                       jnp.moveaxis(fz_ref[k, w:], 0, 2))
+
+
+def face_specs(fyq, fzq, w, Y, Z):
+    """BlockSpecs for the y/z face coefficient arrays.  COMPACT faces
+    (x-extent 1; build_faces) are constant-index blocks — fetched once,
+    VMEM-resident across all grid steps (~14 KB instead of re-streaming an
+    (nd, 2w, Xp, .) array per kernel call).  GENERAL faces stream one
+    _BX-row slab per grid step (block dims match Mosaic tiling: the
+    sliced dim is second-from-last-but-two, never the minor pair)."""
+    nd = fyq.shape[0]
+    if fyq.shape[2] == 1:
+        return [pl.BlockSpec((nd, 2 * w, 1, Z), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nd, 2 * w, 1, Y), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    return [pl.BlockSpec((nd, 2 * w, _BX, Z),
+                         lambda i: (0, 0, jnp.int32(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, 2 * w, _BX, Y),
+                         lambda i: (0, 0, jnp.int32(i), 0),
+                         memory_space=pltpu.VMEM)]
 
 
 def _interior_kernel(offsets, w, nb, xb, c_ref, fy_ref, fz_ref, *rest):
@@ -377,13 +417,8 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
     # tracing the call in a local 32-bit scope is semantically inert here
     # (all operand dtypes are explicit) and keeps the kernels usable from
     # x64-certified drivers like solve_mg_refined.
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((nd, 2 * w, _BX, Z), lambda i: (0, 0, jnp.int32(i), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
     if fold:
         # constant-index block: fetched once, stays VMEM-resident

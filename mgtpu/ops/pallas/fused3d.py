@@ -35,8 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .const3d import _BX, _apply_xband, _xband_rows, fx_narrow, \
-    inkernel_xband, main_ytap, main_ztap, tap_accum, xband_row
+from .const3d import _BX, _apply_xband, _xband_rows, face_specs, \
+    fx_narrow, inkernel_xband, main_ytap, main_ztap, tap_accum, xband_row
 
 __all__ = ["residual3d", "jacobi3d", "jacobi_corr3d", "jacobi_residual3d"]
 
@@ -123,13 +123,8 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
                                    memory_space=pltpu.VMEM)
     im1 = lambda i: jnp.maximum(i * _BX - 1, 0)
     ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((nd, 2 * w, _BX, Z), lambda i: (0, 0, jnp.int32(i), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, 2 * w, _BX, Y), lambda i: (0, 0, jnp.int32(i), 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
     if fold:
         # constant-index block: fetched once, stays VMEM-resident
@@ -173,10 +168,7 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     return out
 
 
-def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
-                   fzm_ref, fzp_ref, xm2_ref, xm1_ref, x0_ref, xp1_ref,
-                   xp2_ref, bm_ref, b_ref, bp_ref, dm_ref, d_ref, dp_ref,
-                   x1_ref, r1_ref, ax_ref, x1s_ref):
+def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
     """Double apply: smooth the x-extended block, then the residual of the
     smoothed iterate — all taps in VMEM.
 
@@ -188,7 +180,22 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
     scratch) and emits r' = b - A x'.  Out-of-domain halos are masked to
     zero; planes whose TRUE row taps differ from the const+band model (the
     first/last 2w planes of the domain) are fixed outside by
-    const3d._apply_xband on exact row coefficients."""
+    const3d._apply_xband on exact row coefficients.
+
+    COMPACT faces (x-invariant band coefficients, const3d.build_faces):
+    the one VMEM-resident fy/fz row serves the main block AND both halo
+    planes by broadcast, so the x-leading transposed halo slabs (fym/fyp/
+    fzm/fzp) disappear.  Stage-A values at x-band halo planes are then
+    inexact, but every stage-B row they reach lies inside the
+    first/last-2w exact-row fix — the same coverage the general path
+    already requires."""
+    if compact:
+        (xm2_ref, xm1_ref, x0_ref, xp1_ref, xp2_ref, bm_ref, b_ref, bp_ref,
+         dm_ref, d_ref, dp_ref, x1_ref, r1_ref, ax_ref, x1s_ref) = rest
+    else:
+        (fym_ref, fyp_ref, fzm_ref, fzp_ref, xm2_ref, xm1_ref, x0_ref,
+         xp1_ref, xp2_ref, bm_ref, b_ref, bp_ref, dm_ref, d_ref, dp_ref,
+         x1_ref, r1_ref, ax_ref, x1s_ref) = rest
     i = pl.program_id(0)
     cur = x0_ref[:]                                     # (B, Y, Z)
     B = cur.shape[0]
@@ -247,16 +254,20 @@ def _jacres_kernel(offsets, w, nb, c_ref, fy_ref, fz_ref, fym_ref, fyp_ref,
         ref[a:b2, :w, :] = ylo
         ref[a:b2, Y - w:, :] = yhi
 
+    if compact:
+        # the one broadcast row serves main block and both halo planes
+        hy_m = hy_p = _tap_main_y(fy_ref)
+        hz_m = hz_p = _tap_main_z(fz_ref)
+    else:
+        hy_m, hy_p = _tap_halo_y(fym_ref), _tap_halo_y(fyp_ref)
+        hz_m, hz_p = _tap_halo_z(fzm_ref), _tap_halo_z(fzp_ref)
+
     # stage A: band-corrected A x on planes [iB-1, iB+B]
     _store(ax_ref, 1, B + 1,
            _accum(lambda dx: planes[dx],
                   _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
-    _store(ax_ref, 0, 1,
-           _accum(lambda dx: lo[dx],
-                  _tap_halo_y(fym_ref), _tap_halo_z(fzm_ref), 1))
-    _store(ax_ref, B + 1, B + 2,
-           _accum(lambda dx: hi[dx],
-                  _tap_halo_y(fyp_ref), _tap_halo_z(fzp_ref), 1))
+    _store(ax_ref, 0, 1, _accum(lambda dx: lo[dx], hy_m, hz_m, 1))
+    _store(ax_ref, B + 1, B + 2, _accum(lambda dx: hi[dx], hy_p, hz_p, 1))
     xe = jnp.concatenate([xm1, cur, xp1], axis=0)       # (B+2, Y, Z)
     be = jnp.concatenate([bm, b_ref[:], bp], axis=0)
     de = jnp.concatenate([dm, d_ref[:], dp], axis=0)
@@ -282,7 +293,8 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     bq = jnp.pad(b, padX) if Xp != X else b
     dq = jnp.pad(d, padX) if Xp != X else d
     nb = Xp // _BX
-    kern = functools.partial(_jacres_kernel, offsets, w, nb)
+    compact = fyq.shape[2] == 1
+    kern = functools.partial(_jacres_kernel, offsets, w, nb, compact)
     blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
@@ -302,35 +314,35 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     im2 = lambda i: jnp.maximum(i * _BX - 2, 0)
     ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
     ip2 = lambda i: jnp.minimum(i * _BX + _BX + 1, Xp - 1)
-    # fyq/fzq (padded) and fyq_t/fzq_t (x-leading transposed, (Xp, nd, 2w,
-    # Z) / (Xp, nd, Y, 2w)) are precomputed at setup (const3d.build_faces)
+    # fyq/fzq (padded or compact) and — general form only — fyq_t/fzq_t
+    # (x-leading transposed halo slabs) are precomputed at setup
+    # (const3d.build_faces); compact faces need no slabs at all
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += face_specs(fyq, fzq, w, Y, Z)
+    ops = [const, fyq, fzq]
+    if not compact:
+        in_specs += [fslab(Z, im1), fslab(Z, ip1),      # fy halo planes
+                     fslab_z(Y, im1), fslab_z(Y, ip1)]  # fz halo planes
+        ops += [fyq_t, fyq_t, fzq_t, fzq_t]
+    in_specs += [
+        plane(im2), plane(im1), blk(), plane(ip1), plane(ip2),
+        plane(im1), blk(), plane(ip1),          # b
+        plane(im1), blk(), plane(ip1),          # d
+    ]
+    ops += [xq, xq, xq, xq, xq, bq, bq, bq, dq, dq, dq]
     with jax.enable_x64(False):       # see const3d: Mosaic x64 limitation
         x1k, r1k = pl.pallas_call(
             kern,
             out_shape=[jax.ShapeDtypeStruct((Xp, Y, Z), x.dtype),
                        jax.ShapeDtypeStruct((Xp, Y, Z), x.dtype)],
             grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((nd, 2 * w, _BX, Z),
-                             lambda i: (0, 0, jnp.int32(i), 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nd, 2 * w, _BX, Y),
-                             lambda i: (0, 0, jnp.int32(i), 0),
-                             memory_space=pltpu.VMEM),
-                fslab(Z, im1), fslab(Z, ip1),           # fy halo planes
-                fslab_z(Y, im1), fslab_z(Y, ip1),       # fz halo planes
-                plane(im2), plane(im1), blk(), plane(ip1), plane(ip2),
-                plane(im1), blk(), plane(ip1),          # b
-                plane(im1), blk(), plane(ip1),          # d
-            ],
+            in_specs=in_specs,
             out_specs=[blk(), blk()],
             scratch_shapes=[pltpu.VMEM((_BX + 2, Y, Z), x.dtype),
                             pltpu.VMEM((_BX + 2, Y, Z), x.dtype)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
-        )(const, fyq, fzq, fyq_t, fyq_t, fzq_t, fzq_t,
-          xq, xq, xq, xq, xq, bq, bq, bq, dq, dq, dq)
+        )(*ops)
     x1k, r1k = x1k[:X], r1k[:X]
 
     # exact x-band fixes: x' on the first/last w planes (true row taps),
@@ -395,8 +407,11 @@ def jacobi_residual3d(A, d, b, x, interpret: bool = False):
     """(x', r') = (x + d .* (b - A x), b - A x') — pre-smooth plus the
     restrict-feed residual of the V-cycle in ONE pass over the fields."""
     w = A.boxes[0][1][0]
+    f = A.faces
+    fyq_t = f[3] if len(f) > 3 else None     # general form only
+    fzq_t = f[4] if len(f) > 4 else None
 
     def fn(xx, bb):
-        return _jacres_one(A.const, *A.faces, xx, bb, d,
-                           tuple(map(tuple, A.offsets)), w, interpret)
+        return _jacres_one(A.const, f[0], f[1], f[2], fyq_t, fzq_t, xx, bb,
+                           d, tuple(map(tuple, A.offsets)), w, interpret)
     return _batched(fn, x, b)

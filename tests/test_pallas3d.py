@@ -270,3 +270,45 @@ print("XBANDFOLD-OK")
                          text=True, timeout=600, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "XBANDFOLD-OK" in out.stdout
+
+
+def test_compact_faces_match_general(small_kernels, monkeypatch):
+    """COMPACT face form (x-invariant band coefficients -> one broadcast
+    row, const3d.build_faces) vs the general per-row form: identical
+    kernel outputs for a real operator.  Real operators always trigger
+    compact, so this also keeps the general 5-tuple path covered
+    (MGTPU_PALLAS3D_COMPACT=0 is read per build_faces call)."""
+    from mgtpu.ops.grid_stencil import make_grid_stencil
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    from mgtpu.ops.pallas.fused3d import (jacobi_corr3d, jacobi_residual3d,
+                                          residual3d)
+    dims = (18, 24, 30)
+    M = get_regular_mesh([0.0, 1.0] * 3, list(dims))
+    L = nodal_laplacian_matrix(M)
+    L = (L + 1e-4 * abs(L).sum(0).max() * sp.identity(L.shape[0])
+         ).tocsr().astype(np.float32)
+    Ac = make_grid_stencil(L, [d + 1 for d in dims])
+    assert len(Ac.faces) == 3, "compact form should trigger for a Laplacian"
+    monkeypatch.setenv("MGTPU_PALLAS3D_COMPACT", "0")
+    Ag = make_grid_stencil(L, [d + 1 for d in dims])
+    assert len(Ag.faces) == 5
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, *Ac.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, *Ac.grid).astype(np.float32))
+    p = jnp.asarray(rng.rand(2, *Ac.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*Ac.grid).astype(np.float32))
+    w = Ac.boxes[0][1][0]
+    yc = const3d_matvec_pallas(Ac.const, Ac.faces, Ac.offsets, x, w,
+                               interpret=True)
+    yg = const3d_matvec_pallas(Ag.const, Ag.faces, Ag.offsets, x, w,
+                               interpret=True)
+    assert float(jnp.abs(yc - yg).max()) == 0.0
+    assert float(jnp.abs(residual3d(Ac, b, x, interpret=True)
+                         - residual3d(Ag, b, x, interpret=True)).max()) == 0.0
+    assert float(jnp.abs(jacobi_corr3d(Ac, d, b, x, p, interpret=True)
+                         - jacobi_corr3d(Ag, d, b, x, p,
+                                         interpret=True)).max()) == 0.0
+    x1c, r1c = jacobi_residual3d(Ac, d, b, x, interpret=True)
+    x1g, r1g = jacobi_residual3d(Ag, d, b, x, interpret=True)
+    assert float(jnp.abs(x1c - x1g).max()) == 0.0
+    assert float(jnp.abs(r1c - r1g).max()) == 0.0

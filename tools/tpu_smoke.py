@@ -163,6 +163,50 @@ def smoke_w2():
     _close(r1, r1i)
 
 
+@gate("compact_faces")
+def smoke_compact():
+    """COMPACT face form (x-invariant band coefficients -> one
+    VMEM-resident (nd, 2w, 1, .) constant-index block instead of streaming
+    (nd, 2w, Xp, .) per call).  Real operators (test _op) always take this
+    path now; gate it on the chip: lower + compiled vs interpret at w=2,
+    single- and double-apply."""
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas, build_faces
+    X, Y, Z = 129, 132, 131
+    w = 2
+    rng = np.random.default_rng(6)
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    coeff = rng.standard_normal((len(offs), 1, Y, Z)).astype(np.float32)
+    coeff = np.broadcast_to(coeff, (len(offs), X, Y, Z)).copy()
+    faces = build_faces(coeff, w)
+    assert len(faces) == 3, "compact form did not trigger"
+
+    class A:
+        pass
+    a = A()
+    a.const = jnp.asarray(coeff[:, X // 2, Y // 2, Z // 2].copy())
+    a.faces = tuple(map(jnp.asarray, faces))
+    a.offsets = np.array(offs)
+    a.boxes = [((0, 0, 0), (w, 1, 1))]
+    x = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((X, Y, Z)).astype(np.float32))
+    mv = lambda i: const3d_matvec_pallas(a.const, a.faces, a.offsets, x, w,
+                                         interpret=i)
+    _close(mv(False), mv(True))
+    _close(f3k.residual3d(a, b, x, interpret=False),
+           f3k.residual3d(a, b, x, interpret=True))
+    _close(f3k.jacobi_corr3d(a, d, b, x, p, interpret=False),
+           f3k.jacobi_corr3d(a, d, b, x, p, interpret=True))
+    x1, r1 = f3k.jacobi_residual3d(a, d, b, x, interpret=False)
+    x1i, r1i = f3k.jacobi_residual3d(a, d, b, x, interpret=True)
+    _close(x1, x1i)
+    _close(r1, r1i)
+
+
 @gate("xband_fold")
 def smoke_fold():
     """MGTPU_PALLAS3D_XBAND=fold (in-kernel x-band rows): lower + compiled
@@ -281,7 +325,7 @@ def main(argv):
               "on the real chip", flush=True)
         return 2
     smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_w2,
-              smoke_fold, smoke_tridiag, smoke_stencil2d]
+              smoke_compact, smoke_fold, smoke_tridiag, smoke_stencil2d]
     if "--fast" not in argv:
         smokes.append(smoke_cycle3d)
     for s in smokes:
