@@ -87,9 +87,14 @@ def _chain_timer(cycle, hier, b, x0, ks=(4, 54), reps=3):
     return (t2 - t1) / (ks[1] - ks[0]) * 1e3
 
 
-def _probe_ms():
+def _probe_ms(max_tries=3):
     """Chip contention probe: slope-timed 1024^2 matmul chain, healthy
-    ~0.03 ms (CLAUDE.md measurement rule 3)."""
+    ~0.03 ms (CLAUDE.md measurement rule 3).
+
+    A negative slope is physically impossible — it means the two chain
+    timings were noise-dominated (ADVICE r3: BENCH_r03 recorded -0.009 and
+    the run's chip-health reading was meaningless).  Retry up to max_tries,
+    then return the last value so callers can see it was invalid."""
     import jax
     import jax.numpy as jnp
     a = jnp.asarray(np.random.RandomState(7).rand(1024, 1024)
@@ -100,14 +105,19 @@ def _probe_ms():
         return jnp.sum(jax.lax.fori_loop(0, k, lambda i, x: x @ a / 32.0, a))
 
     float(mm(a, 4)); float(mm(a, 64))
-    ts = {}
-    for k in (4, 64):
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter(); float(mm(a, k))
-            best = min(best, time.perf_counter() - t0)
-        ts[k] = best
-    return (ts[64] - ts[4]) / 60 * 1e3
+    slope = float("nan")
+    for _ in range(max_tries):
+        ts = {}
+        for k in (4, 64):
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter(); float(mm(a, k))
+                best = min(best, time.perf_counter() - t0)
+            ts[k] = best
+        slope = (ts[64] - ts[4]) / 60 * 1e3
+        if slope > 0:
+            return slope
+    return slope
 
 
 def _wait_backend(max_wait: float) -> bool:
@@ -162,9 +172,10 @@ def _wait_healthy(max_wait: float):
 
 def _try_device_str():
     try:
-        return str(jax.devices()[0])
-    except Exception:                      # noqa: BLE001 — backend never up
-        return None
+        import jax                         # local: main() imports jax in its
+        return str(jax.devices()[0])       # own scope (r3: NameError here was
+    except Exception:                      # swallowed and device came out
+        return None                        # null — VERDICT r3 weak #3)
 
 
 def main():
@@ -195,11 +206,18 @@ def main():
 
     errors = {}
     R = {"probe0": probe0}  # section results; missing key -> metric null
+    probes = {}             # per-section chip-health (VERDICT r3 #4: drifting
+                            # numbers must carry their own contention context)
 
     def section(name, fn, min_left=0.0):
         """Run one metric section with fault isolation (VERDICT r2 #2)."""
         if min_left and left() < min_left:
             return False
+        try:
+            # probing touches the device; never do that on a wedged relay
+            probes[name] = round(_probe_ms(), 3) if backend_up else None
+        except Exception:                          # noqa: BLE001
+            probes[name] = None
         try:
             fn()
             return True
@@ -426,6 +444,125 @@ def main():
             st3.hier, bg3, bg3, ks=(2, 22), reps=2)
         R["gnnz3"] = st3.As[0].nnz * 1e3 / R["mv3_ms"] / 1e9
 
+    def sec_kcycle():
+        # K-cycle as ONE device program (r3 claim "0.22 s steady-state" had
+        # no bench artifact — VERDICT r3 weak #2b).  SA-AMG K-cycle with
+        # Jac-GMRES relax on the rough-coefficient 512^2 problem (the
+        # reference's K-cycle workload, testSAforDivSigGrad.jl:80-83):
+        # slope-timed per-cycle cost + steady-state refined-solve wall.
+        from mgtpu.setup.sa_amg import sa_amg_setup
+        from mgtpu.solvers.mg_solver import solve_mg_refined
+        from mgtpu.models.operators import nodal_div_sig_grad_matrix
+        grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
+        Mk = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
+        sigk = np.exp(np.random.RandomState(3).randn(512 * 512))
+        Ak = nodal_div_sig_grad_matrix(Mk, sigk)
+        Ak = (Ak + 1e-8 * abs(Ak).sum(0).max()
+              * sp.identity(Ak.shape[0])).tocsr()
+        cfg_k, rp_k = get_mg_param(levels=4, relax_type="jac-gmres",
+                                   relax_param=1.0, nu_pre=1, nu_post=1,
+                                   cycle_type="K", dtype=dtype)
+        st_k = sa_amg_setup(Ak, cfg_k, rp_k, mesh=Mk)
+        bk = flat_to_grid(jnp.asarray(
+            rng.rand(Ak.shape[0], 1).astype(dtype)), st_k.hier.fine_grid)
+        R["kcycle_ms"] = _chain_timer(
+            lambda h, bb, xx: grid_cycle(cfg_k, h, bb, xx),
+            st_k.hier, bk, jnp.zeros_like(bk), ks=(2, 12), reps=2)
+        bk64 = Ak @ np.random.RandomState(4).rand(Ak.shape[0])
+        bk64 /= np.linalg.norm(bk64)
+        best = None
+        for _ in range(2):                         # steady state: min of 2
+            t0 = time.perf_counter()
+            _, kinfo = solve_mg_refined(st_k, bk64, tol=1e-8, max_iter=30)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        R["kcycle_solve_s"] = best
+        R["kcycle_iters"] = int(kinfo["iters"])
+
+    def sec_line():
+        # line smoother on the mixed-strength configuration it exists for
+        # (VERDICT r3 weak #4: the Pallas tridiag crossover was unmeasured).
+        # 257^2 eps=100 anisotropy: point-Jacobi cycle vs line-Jacobi cycle
+        # under each tridiagonal schedule (doubling scan / Pallas one-pass).
+        import os as _os
+        nl = 256
+        Nl = nl + 1
+        eps = 100.0
+        T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1],
+                     shape=(Nl, Nl)) * (nl ** 2)
+        Il = sp.identity(Nl)
+        Al = sp.csr_matrix(eps * sp.kron(Il, T) + sp.kron(T, Il))
+        Ml = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [nl, nl])
+        grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
+        bl = np.random.RandomState(0).rand(Al.shape[0], 1).astype(dtype)
+        out = {}
+        for tag, rt, rp_l, mode in (
+                ("point", "jacobi", 0.8, None),
+                ("line_doubling", "line-jacobi", 1.0, ""),
+                ("line_pallas", "line-jacobi", 1.0, "pallas")):
+            if mode is None:
+                _os.environ.pop("MGTPU_LINE_SCAN", None)
+            else:
+                _os.environ["MGTPU_LINE_SCAN"] = mode
+            try:
+                cfg_l, rpv = get_mg_param(levels=4, relax_type=rt,
+                                          relax_param=rp_l, nu_pre=1,
+                                          nu_post=1, dtype=dtype)
+                st_l = mg_setup(Al, Ml, cfg_l, rpv)
+                blg = flat_to_grid(jnp.asarray(bl), st_l.hier.fine_grid)
+                out[tag] = round(_chain_timer(
+                    lambda h, bb, xx: grid_cycle(cfg_l, h, bb, xx),
+                    st_l.hier, blg, jnp.zeros_like(blg),
+                    ks=(2, 12), reps=2), 4)
+            except Exception:                      # noqa: BLE001
+                out[tag] = None
+        _os.environ.pop("MGTPU_LINE_SCAN", None)
+        R["line_ms"] = out
+
+    def sec_agg():
+        # device (MIS-2) vs greedy aggregation decided on WALL-CLOCK
+        # time-to-1e-8, not cycle count (VERDICT r3 weak #2c: the auto
+        # default was chosen on cycle count; +40% per-cycle work could
+        # lose).  NO mesh is passed: with a mesh SA takes the structured-
+        # aggregation path and the greedy/device choice never engages —
+        # the knob only exists for unstructured operators (ELL engine).
+        import os as _os
+        from mgtpu.setup.sa_amg import sa_amg_setup
+        from mgtpu.solvers.mg_solver import solve_mg_refined
+        from mgtpu.models.operators import nodal_div_sig_grad_matrix
+        Ma = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [512, 512])
+        siga = np.exp(np.random.RandomState(5).randn(512 * 512))
+        Aa = nodal_div_sig_grad_matrix(Ma, siga)
+        Aa = (Aa + 1e-8 * abs(Aa).sum(0).max()
+              * sp.identity(Aa.shape[0])).tocsr()
+        ba = Aa @ np.random.RandomState(6).rand(Aa.shape[0])
+        ba /= np.linalg.norm(ba)
+        out = {}
+        for agg in ("greedy", "device"):
+            _os.environ["MGTPU_AGG"] = agg
+            try:
+                cfg_a, rp_a = get_mg_param(levels=4, relax_type="spai",
+                                           dtype=dtype)
+                t0 = time.perf_counter()
+                st_a = sa_amg_setup(Aa, cfg_a, rp_a)
+                setup_s = time.perf_counter() - t0
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _, ainfo = solve_mg_refined(st_a, ba, tol=1e-8,
+                                                max_iter=60)
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                opc = sum(a.nnz for a in st_a.As) / st_a.As[0].nnz
+                out[agg] = {"solve_s": round(best, 3),
+                            "setup_s": round(setup_s, 3),
+                            "iters": int(ainfo["iters"]),
+                            "op_complexity": round(opc, 2)}
+            except Exception:                      # noqa: BLE001
+                out[agg] = None
+        _os.environ.pop("MGTPU_AGG", None)
+        R["agg_ab"] = out
+
     def sec_m8():
         # multi-RHS throughput (block cycles first-class, ref FGMRES.jl:51)
         grid_cycle, flat_to_grid = R["grid_cycle"], R["flat_to_grid"]
@@ -475,6 +612,9 @@ def main():
         section("cheb", sec_cheb)
         section("vanka", sec_vanka, min_left=120)
         section("sa_amg", sec_sa, min_left=120)
+        section("kcycle", sec_kcycle, min_left=90)
+        section("line", sec_line, min_left=90)
+        section("agg_ab", sec_agg, min_left=90)
         section("multirhs", sec_m8, min_left=60)
         section("host_baseline", sec_host)
         section("flat_engine", sec_flat, min_left=60)
@@ -483,6 +623,23 @@ def main():
             f"chip grant unavailable after "
             f"{time.perf_counter() - t_gate:.0f}s of out-of-process probing"
             " — all device sections skipped (wedged-relay protection)")
+
+    def sec_comm():
+        # comm-volume accounting on the 8-device virtual CPU mesh
+        # (VERDICT r3 item 7: the honest stand-in for unmeasurable
+        # weak scaling).  Subprocess with sitecustomize bypassed so it
+        # runs CPU-only regardless of chip/relay state.
+        import subprocess
+        import sys
+        env = dict(os.environ, PYTHONPATH="")
+        r_ = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "comm_volume.py")],
+            capture_output=True, timeout=600, env=env, text=True)
+        R["comm"] = json.loads(r_.stdout.strip().splitlines()[-1])
+
+    section("comm_volume", sec_comm)
 
     def r(v, nd=4):
         return None if v is None else round(v, nd)
@@ -534,6 +691,12 @@ def main():
             "poisson3d_iters_to_1e-8": g("iters3_1e8"),
             "vcycle_8rhs_ms_per_rhs": r(None if g("m8_ms") is None
                                         else R["m8_ms"] / 8),
+            "kcycle_512_sa_cycle_ms": r(g("kcycle_ms")),
+            "kcycle_512_solve_1e-8_s": r(g("kcycle_solve_s"), 3),
+            "kcycle_512_iters": g("kcycle_iters"),
+            "line_257_cycle_ms": g("line_ms"),
+            "agg_greedy_vs_device": g("agg_ab"),
+            "comm_bytes_per_cycle": g("comm"),
             "setup_2d_1024_s": r(g("setup2"), 2),
             "setup_3d_128_s": r(g("setup3"), 2),
             "setup_2d_cold_s": r(g("setup2_cold"), 2),
@@ -543,6 +706,7 @@ def main():
             "chip_probe_ms": (round(R["probe0"], 3)
                               if g("probe0") is not None
                               and np.isfinite(R["probe0"]) else None),
+            "section_probe_ms": probes or None,
             "errors": errors or None,
             # vs_baseline divides by a 1-THREAD scipy CSR cycle on this host
             # (the reference's platform class is an OpenMP CPU solver; an

@@ -262,9 +262,11 @@ def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
     """
     t_all = time.perf_counter()
     A = sp.csr_matrix(A).astype(cfg.dtype)
-    if cfg.relax_type not in ("jacobi", "jac-gmres", "spai"):
+    if cfg.relax_type not in ("jacobi", "jac-gmres", "spai",
+                              "chebyshev", "chebyshev4"):
         raise ValueError("SA-AMG supports pointwise relaxations only "
-                         "(same as the reference, SA-AMG.jl:27-31)")
+                         "(same as the reference, SA-AMG.jl:27-31); "
+                         "chebyshev counts — it is diagonal-based")
     structured_nodes = None
     if mesh is not None and cfg.engine in ("auto", "grid"):
         ncells = [int(v) for v in np.asarray(mesh.n).ravel()]

@@ -28,6 +28,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _ProbeOp:
+    """Minimal const3d operator carrier, registered as a pytree so
+    _chain_timer can pass it straight through jit (r3's bare class raised
+    'Error interpreting argument ... as an abstract array' on-chip and the
+    probe never produced its go/no-go numbers — VERDICT r3 weak #1)."""
+
+    def __init__(self, const, faces, offsets, boxes):
+        self.const, self.faces = const, faces
+        self.offsets, self.boxes = offsets, boxes
+
+    def tree_flatten(self):
+        return ((self.const, self.faces),
+                (tuple(map(tuple, self.offsets)),
+                 tuple((tuple(o), tuple(s)) for o, s in self.boxes)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], np.array(aux[0]), list(aux[1]))
+
+
+def _register():
+    import jax
+    jax.tree_util.register_pytree_node(
+        _ProbeOp, _ProbeOp.tree_flatten,
+        lambda aux, ch: _ProbeOp.tree_unflatten(aux, ch))
+
+
 def _mk(X, Y, Z, w, taps, seed=0):
     import jax.numpy as jnp
     from mgtpu.ops.pallas.const3d import build_faces
@@ -41,14 +68,9 @@ def _mk(X, Y, Z, w, taps, seed=0):
     coeff = rng.standard_normal((len(offs), X, Y, Z)).astype(np.float32)
     coeff /= np.abs(coeff).sum(axis=0).max()       # chainable: row sums <= 1
     faces = build_faces(coeff, w)
-
-    class A:
-        pass
-    a = A()
-    a.const = jnp.asarray(coeff[:, X // 2, Y // 2, Z // 2].copy())
-    a.faces = tuple(map(jnp.asarray, faces))
-    a.offsets = np.array(offs)
-    a.boxes = [((0, 0, 0), (w, 1, 1))]
+    a = _ProbeOp(jnp.asarray(coeff[:, X // 2, Y // 2, Z // 2].copy()),
+                 tuple(map(jnp.asarray, faces)),
+                 np.array(offs), [((0, 0, 0), (w, 1, 1))])
     return a, rng
 
 
@@ -59,6 +81,7 @@ def main():
     from bench import _chain_timer, _probe_ms
     from mgtpu.ops.pallas import fused3d as f3k
     from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    _register()
     print(f"probe: {_probe_ms():.3f} ms (healthy ~0.03); w={w} taps={taps}")
 
     shapes = [(129, 129, 129), (129, 129, 128), (129, 128, 128),
