@@ -132,6 +132,26 @@ def _grouped() -> bool:
     return os.environ.get("MGTPU_PALLAS3D_GROUPED", "1") != "0"
 
 
+def _mxu() -> bool:
+    """MGTPU_PALLAS3D_MXU=1: fold each (dx, dy) tap group's dz taps into a
+    tridiagonal (Z, Z) matmul on the MXU — eliminates the lane rolls AND
+    the per-tap interior multiplies for multi-dz groups.  Matmul precision
+    HIGHEST (f32-accurate; ~1 ulp vs the FMA chain — the band/row fixes
+    still carry TRUE coefficients, and the cycle's df32 certification does
+    not run through these kernels).  Read at trace time."""
+    import os
+    return os.environ.get("MGTPU_PALLAS3D_MXU", "0") == "1"
+
+
+def _probe_noband() -> bool:
+    """MGTPU_PALLAS3D_PROBE_NOBAND=1: SKIP the y/z boundary-band
+    accumulation inside tap_accum.  TIMING PROBE ONLY — output values on
+    the bands are wrong; exists to isolate the band share of the kernel
+    cost on hardware (tools/ab_mxu.py)."""
+    import os
+    return os.environ.get("MGTPU_PALLAS3D_PROBE_NOBAND", "") == "1"
+
+
 def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
     """Band-corrected stencil tap accumulation over one x-plane group.
 
@@ -171,26 +191,52 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
     zhi = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
     ylo = jnp.zeros((n, w, Z), dtype)
     yhi = jnp.zeros((n, w, Z), dtype)
+    bands_on = not _probe_noband()
+    if bands_on:
+        for k, (dx, dy, dz) in enumerate(offsets):
+            qk = q(dx, dy)
+            zlo_c, zhi_c = ztap(k)
+            ylo_c, yhi_c = ytap(k)
+            # roll_z(q)[:, :, j] == q[:, :, (j + dz) % Z]: band columns are
+            # static keep-dim slices of the UNROLLED array; the % wrap lands
+            # only where the tap reads outside the domain (true coeff 0)
+            for c in range(w):
+                jlo, jhi = (c + dz) % Z, (Z - w + c + dz) % Z
+                zlo[c] = zlo[c] + qk[:, :, jlo:jlo + 1] * zlo_c[:, :, c:c + 1]
+                zhi[c] = zhi[c] + qk[:, :, jhi:jhi + 1] * zhi_c[:, :, c:c + 1]
+            rlo, rhi = qk[:, :w, :], qk[:, Y - w:, :]
+            if dz:
+                rlo = pltpu.roll(rlo, np.int32(-dz % Z), axis=2)
+                rhi = pltpu.roll(rhi, np.int32(-dz % Z), axis=2)
+            ylo = ylo + rlo * ylo_c
+            yhi = yhi + rhi * yhi_c
+
+    # interior accumulation: group taps by (dx, dy) so the (cached) sublane
+    # roll is shared; dz handling is either the dz-group lane rolls or —
+    # MXU mode — a tridiagonal (Z, Z) matmul per multi-dz group that folds
+    # the shift AND the coefficients (boundary columns get no wrap terms;
+    # they are band-overwritten anyway)
+    groups = {}
     for k, (dx, dy, dz) in enumerate(offsets):
-        qk = q(dx, dy)
-        term = c_ref[k] * qk
-        inner[dz] = term if dz not in inner else inner[dz] + term
-        zlo_c, zhi_c = ztap(k)
-        ylo_c, yhi_c = ytap(k)
-        # roll_z(q)[:, :, j] == q[:, :, (j + dz) % Z]: band columns are
-        # static keep-dim slices of the UNROLLED array; the % wrap lands
-        # only where the tap reads outside the domain (true coeff 0)
-        for c in range(w):
-            jlo, jhi = (c + dz) % Z, (Z - w + c + dz) % Z
-            zlo[c] = zlo[c] + qk[:, :, jlo:jlo + 1] * zlo_c[:, :, c:c + 1]
-            zhi[c] = zhi[c] + qk[:, :, jhi:jhi + 1] * zhi_c[:, :, c:c + 1]
-        rlo, rhi = qk[:, :w, :], qk[:, Y - w:, :]
-        if dz:
-            rlo = pltpu.roll(rlo, np.int32(-dz % Z), axis=2)
-            rhi = pltpu.roll(rhi, np.int32(-dz % Z), axis=2)
-        ylo = ylo + rlo * ylo_c
-        yhi = yhi + rhi * yhi_c
+        groups.setdefault((dx, dy), []).append((k, dz))
+    use_mxu = _mxu()
     acc = jnp.zeros((n, Y, Z), dtype)
+    for (dx, dy), taps in groups.items():
+        qk = q(dx, dy)
+        if use_mxu and any(dz for _, dz in taps):
+            rr = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 1)
+            tz = jnp.zeros((Z, Z), dtype)
+            for k, dz in taps:
+                tz = tz + jnp.where(rr - cc == dz, c_ref[k],
+                                    jnp.zeros((), dtype))
+            acc = acc + jax.lax.dot(
+                qk.reshape(n * Y, Z), tz,
+                precision=jax.lax.Precision.HIGHEST).reshape(n, Y, Z)
+        else:
+            for k, dz in taps:
+                term = c_ref[k] * qk
+                inner[dz] = term if dz not in inner else inner[dz] + term
     for dz in sorted(inner):
         v = inner[dz]
         acc = acc + (pltpu.roll(v, np.int32(-dz % Z), axis=2) if dz else v)

@@ -327,10 +327,14 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
         coloring = None
         if coarsening == "pmis":
             # device-parallel PMIS splitting (SURVEY §7 step 7): jitted
-            # fixed-point rounds, no host heap; every F node has a strong C
-            # neighbor by construction so no common-C pass is needed
-            from .device_agg import pmis_coloring
-            coloring = pmis_coloring(S)
+            # fixed-point rounds, no host heap.  PMIS guarantees each F
+            # node a strong C neighbor, but direct interpolation also
+            # needs every strong F-F pair to share a C neighbor (reference
+            # pass 2, coloring.jl:104-122) — without it the r4 contract
+            # test measured 3x the common-C cycle count; the vectorised
+            # enforcement pass restores it in 2-4 bulk-sparse rounds
+            from .device_agg import pmis_coloring, enforce_common_c
+            coloring = enforce_common_c(S, pmis_coloring(S))
         elif coarsening == "common-c":
             from ..utils import native
             coloring = native.cf_coloring(S)

@@ -81,13 +81,40 @@ def test_pmis_coloring_contract():
     assert 0.15 < col.mean() < 0.6
 
 
-def test_classical_pmis_converges():
-    L = _op(64)
-    cfg, rp = get_mg_param(levels=4, relax_type="jacobi", relax_param=0.8,
-                           nu_pre=2, nu_post=1, dtype=np.float64,
-                           max_outer_iter=60, relative_tol=1e-8)
+def _op3d(n, nz, rough=1.0, seed=3):
+    M = get_regular_mesh([0.0, 1.0] * 3, [n, n, nz])
+    rng = np.random.RandomState(seed)
+    L = nodal_div_sig_grad_matrix(M, np.exp(rough * rng.randn(n * n * nz)))
+    return (L + 1e-4 * abs(L).sum(0).max()
+            * sp.identity(L.shape[0])).tocsr()
+
+
+def _pmis_vs_commonc(L, levels):
+    """PMIS convergence contract vs the common-C reference path (VERDICT r3
+    item 6): SAME 1e-8 target, cycle count within ~30% of common-C, and an
+    operator-complexity ceiling — a PMIS regression that doubles cycles or
+    blows up coarse-level stencils must FAIL here."""
+    cfg, rp = get_mg_param(levels=levels, relax_type="jacobi",
+                           relax_param=0.8, nu_pre=2, nu_post=1,
+                           dtype=np.float64, max_outer_iter=60,
+                           relative_tol=1e-8)
     b = L @ np.random.RandomState(1).rand(L.shape[0])
     b /= np.linalg.norm(b)
-    st = classical_amg_setup(L, cfg, rp, coarsening="pmis")
-    it, rr = _iters(st, L, b)
-    assert rr < 1e-6          # converges robustly; common-c is tighter
+    st_c = classical_amg_setup(L, cfg, rp, coarsening="common-c")
+    it_c, rr_c = _iters(st_c, L, b)
+    st_p = classical_amg_setup(L, cfg, rp, coarsening="pmis")
+    it_p, rr_p = _iters(st_p, L, b)
+    assert rr_p < 1e-8, (rr_p, rr_c)
+    assert it_p <= 1.35 * it_c + 1, (it_p, it_c)
+    opc_c = sum(a.nnz for a in st_c.As) / st_c.As[0].nnz
+    opc_p = sum(a.nnz for a in st_p.As) / st_p.As[0].nnz
+    assert opc_p <= max(1.5 * opc_c, opc_c + 0.5), (opc_p, opc_c)
+
+
+def test_classical_pmis_contract_2d():
+    _pmis_vs_commonc(_op(64), levels=4)
+
+
+@pytest.mark.slow
+def test_classical_pmis_contract_3d_rough():
+    _pmis_vs_commonc(_op3d(16, 12), levels=3)
