@@ -367,6 +367,18 @@ def main():
         R["true_rr_c"] = float(np.linalg.norm(
             b64 - st_c.A_input.astype(np.float64)
             @ np.asarray(xc_r, np.float64)))
+        # FMG + Chebyshev COMPOSITION (VERDICT r3 item 8: measured together
+        # on the bench path): one cubic-interpolation FMG pass seeds the
+        # refinement; time-to-1e-8 = fmg_pass + iters_fmg * refined-iter
+        from mgtpu.cycle.grid_cycle import grid_fmg
+        xf_r, finfo = solve_mg_refined(st_c, b64, tol=1e-8, fmg=True)
+        R["iters_c_fmg"] = int(finfo["iters"])
+        R["true_rr_c_fmg"] = float(np.linalg.norm(
+            b64 - st_c.A_input.astype(np.float64)
+            @ np.asarray(xf_r, np.float64)))
+        R["fmg_pass_ms"] = _chain_timer(
+            lambda h, bb, xx: grid_fmg(cfg_c, h, 0.5 * bb + 0.5 * xx),
+            st_c.hier, bg, bg, ks=(2, 22), reps=2)
 
     def sec_vanka():
         # mixed-elasticity Vanka cycle (systems grid engine), the reference's
@@ -683,6 +695,16 @@ def main():
             "cheb_true_relres_f64":
                 (None if g("true_rr_c") is None
                  else float(f"{R['true_rr_c']:.3e}")),
+            "fmg_pass_ms": r(g("fmg_pass_ms")),
+            "cheb_fmg_iters_to_1e-8": g("iters_c_fmg"),
+            "time_to_1e-8_fmg_ms":
+                (None if None in (g("fmg_pass_ms"), g("iters_c_fmg"),
+                                  g("refined_c_ms"))
+                 else round(R["fmg_pass_ms"]
+                            + R["refined_c_ms"] * R["iters_c_fmg"], 3)),
+            "fmg_true_relres_f64":
+                (None if g("true_rr_c_fmg") is None
+                 else float(f"{R['true_rr_c_fmg']:.3e}")),
             "gnnz_per_s": (None if dev_ms is None or hier_nnz is None
                            else round(hier_nnz * 4 * 1e3 / dev_ms / 1e9, 2)),
             "poisson3d_128_vcycle_ms": r(g("cycle3_ms")),

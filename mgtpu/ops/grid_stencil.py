@@ -441,7 +441,7 @@ def _stride2_restrict(coeff, E, offsets, coarse_grid, r):
 
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=["const", "strips", "faces"],
-                   meta_fields=["offsets", "grid", "boxes"])
+                   meta_fields=["offsets", "grid", "boxes", "band_meta"])
 @dataclass(frozen=True)
 class ConstGridStencil:
     """Stencil whose coefficients are constant away from the grid boundary.
@@ -468,6 +468,15 @@ class ConstGridStencil:
     grid: tuple[int, ...]
     boxes: tuple
     faces: tuple | None = None   # 3D kernel band coeffs (fx, fy, fz)
+    # static band structure for the additive z-band kernel schedule
+    # (const3d.tap_accum v2): (zlo_skip, zhi_skip, z_inv) — per-tap bools
+    # "this tap's z-band coefficients EQUAL the interior constant" (its
+    # delta op can be skipped) and "z-band coefficients are y-interior-
+    # invariant" (the multi-dz-group boundary columns can fold into the
+    # tridiagonal MXU matmul).  Booleans only — the coefficient VALUES
+    # stay runtime operands, so replace_matrix retraces only if a flag
+    # actually flips.
+    band_meta: tuple | None = None
 
     @property
     def dtype(self):
@@ -483,21 +492,32 @@ class ConstGridStencil:
         # logical stencil size (for operator-complexity accounting)
         return int(len(self.offsets) * np.prod(self.grid))
 
+    def _active_band_meta(self):
+        # resolve the v2 band-schedule opt-out OUTSIDE the jit boundary:
+        # band_meta is a static jit key, so the env toggle must change the
+        # key, not just the (cached) trace body
+        from .pallas.const3d import use_bandv2
+        compact = self.faces is not None and self.faces[1].shape[2] == 1
+        return (self.band_meta
+                if use_bandv2(self.band_meta, compact) else None)
+
     def matvec(self, x: jax.Array) -> jax.Array:
         g = len(self.grid)
+        bm = self._active_band_meta()
         if x.ndim <= 2 and (g != x.ndim or x.shape != self.grid):
             squeeze = x.ndim == 1
             x2 = x[:, None] if squeeze else x
             yg = const_grid_stencil_matvec(
                 self.const, self.strips, self.offsets, self.grid, self.boxes,
                 flat_to_grid(x2, self.grid), self.faces,
-                p3mode=_pallas3d_mode())
+                p3mode=_pallas3d_mode(), band_meta=bm)
             y = grid_to_flat(yg)
             return y[:, 0] if squeeze else y
         return const_grid_stencil_matvec(self.const, self.strips,
                                          self.offsets, self.grid, self.boxes,
                                          x, self.faces,
-                                         p3mode=_pallas3d_mode())
+                                         p3mode=_pallas3d_mode(),
+                                         band_meta=bm)
 
     def to_dense_stencil(self) -> GridStencil:
         nd = len(self.offsets)
@@ -516,7 +536,8 @@ class ConstGridStencil:
                                 tuple(s.astype(dtype) for s in self.strips),
                                 self.offsets, self.grid, self.boxes,
                                 tuple(f.astype(dtype) for f in self.faces)
-                                if self.faces is not None else None)
+                                if self.faces is not None else None,
+                                self.band_meta)
 
 
 def compress_grid_stencil(gs: GridStencil, width: int = 2,
@@ -555,11 +576,14 @@ def compress_grid_stencil(gs: GridStencil, width: int = 2,
             sl = tuple(slice(b, b + z) for b, z in zip(st, sz))
             strips.append(conv(coeff[(slice(None),) + sl]))
     faces = None
-    from .pallas.const3d import supports_const3d, build_faces
+    band_meta = None
+    from .pallas.const3d import supports_const3d, build_faces, band_meta_of
     if supports_const3d(gs.offsets, grid, coeff.dtype):
-        faces = tuple(conv(f) for f in build_faces(coeff, width))
+        faces_np = build_faces(coeff, width)
+        band_meta = band_meta_of(c, faces_np, width)
+        faces = tuple(conv(f) for f in faces_np)
     return ConstGridStencil(conv(c), tuple(strips), gs.offsets,
-                            grid, tuple(boxes), faces)
+                            grid, tuple(boxes), faces, band_meta)
 
 
 def _pallas3d_mode() -> str:
@@ -576,9 +600,10 @@ def _pallas3d_mode() -> str:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "grid", "boxes", "p3mode"))
+                   static_argnames=("offsets", "grid", "boxes", "p3mode",
+                                    "band_meta"))
 def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x,
-                              faces=None, p3mode=None):
+                              faces=None, p3mode=None, band_meta=None):
     """y = A x for a constant-interior stencil; x is (..., *grid).
 
     The output is assembled from disjoint regions — two boundary slabs per
@@ -612,7 +637,8 @@ def const_grid_stencil_matvec(const, strips, offsets, grid, boxes, x,
         if supports_const3d(offsets, grid, dt):
             w = boxes[0][1][0]
             return const3d_matvec_pallas(const, faces, offsets, x, w,
-                                         interpret=(mode == "interpret"))
+                                         interpret=(mode == "interpret"),
+                                         band_meta=band_meta)
     lo = [max(0, -min(off[a] for off in offsets)) for a in range(g)]
     hi = [max(0, max(off[a] for off in offsets)) for a in range(g)]
     pad = [(0, 0)] * nb + [(lo[a], hi[a]) for a in range(g)]

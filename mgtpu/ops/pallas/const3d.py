@@ -152,31 +152,92 @@ def _probe_noband() -> bool:
     return os.environ.get("MGTPU_PALLAS3D_PROBE_NOBAND", "") == "1"
 
 
-def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
+def use_bandv2(band_meta, compact: bool) -> bool:
+    """True when the additive z-band schedule (tap_accum v2) applies:
+    compact (x-invariant) faces, y-interior-invariant z-band coefficients
+    (band_meta[2]), the grouped schedule, and no opt-out.  Callers that
+    get True must pass the `zint` SMEM operand (fzq[:, :, 0, w])."""
+    import os
+    return (band_meta is not None and band_meta[2] and compact
+            and _grouped()
+            and os.environ.get("MGTPU_PALLAS3D_BANDV2", "1") != "0")
+
+
+def band_meta_of(const, faces, w: int):
+    """Static band flags for tap_accum v2, from HOST (numpy) face arrays:
+    (zlo_skip, zhi_skip, z_inv) — per-tap "z-band coefficients equal the
+    interior constant" (the delta op can be skipped) and "z-band
+    coefficients are y-interior-invariant" (multi-dz-group boundary
+    columns can fold into the tridiagonal matmul).  Compact (3-tuple)
+    faces only; None disables v2."""
+    if len(faces) != 3:
+        return None
+    fzc = np.asarray(faces[2])               # (nd, 2w, 1, Y)
+    Y = fzc.shape[3]
+    if Y <= 2 * w:
+        return None
+    nd = fzc.shape[0]
+    zlo = tuple(bool((fzc[k, :w] == const[k]).all()) for k in range(nd))
+    zhi = tuple(bool((fzc[k, w:] == const[k]).all()) for k in range(nd))
+    inner = fzc[:, :, :, w:Y - w]
+    z_inv = bool((inner == inner[:, :, :, :1]).all())
+    return (zlo, zhi, z_inv)
+
+
+def store_banded(ref, a, b, res, w, Y, Z):
+    """Write one tap_accum result into ref[a:b] (static slice bounds only —
+    Mosaic lowers static partial stores).  Band semantics by mode:
+    "overwrite" replaces the z-band columns with exact per-column values;
+    "delta" adds the accumulated coefficient-difference corrections to the
+    interior-schedule values (exact: see tap_accum).  The y-band rows are
+    always overwritten LAST (full exact rows, corners included), covering
+    the z/y overlap."""
+    acc, zmode, z1, z2, ylo, yhi = res
+    ref[a:b] = acc
+    if zmode == "overwrite":
+        for c in range(w):
+            ref[a:b, :, c:c + 1] = z1[c]
+            ref[a:b, :, Z - w + c:Z - w + c + 1] = z2[c]
+    elif zmode == "delta":
+        ref[a:b, :, :w] = acc[:, :, :w] + z1
+        ref[a:b, :, Z - w:] = acc[:, :, Z - w:] + z2
+    ref[a:b, :w, :] = ylo
+    ref[a:b, Y - w:, :] = yhi
+
+
+def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype,
+              band_meta=None, zint_ref=None):
     """Band-corrected stencil tap accumulation over one x-plane group.
 
     planes_of(dx) -> (n, Y, Z) tap source for x offset dx; c_ref[k] the
     constant interior coefficients; ytap(k)/ztap(k) -> the ((n, w, Z) lo,
     hi) / ((n, Y, w) lo, hi) TRUE boundary-band coefficients for tap k.
-    Returns (acc (n, Y, Z), zlo, zhi, ylo, yhi) where zlo/zhi are TUPLES
-    of w single-column (n, Y, 1) values (per-column partial stores are
-    Mosaic-safe; stitching them into a w-wide array would need a
-    sub-128-lane concatenate, which Mosaic rejects).
+    Returns (acc, zmode, z1, z2, ylo, yhi) — apply with `store_banded`.
 
     These kernels are VPU-bound, not HBM-bound (129^3 matvec ~0.3 ms
-    measured vs ~0.04 ms memory floor), and the per-tap schedule's cost is
-    its 18+18 full-block rolls for a 27-point stencil.  The grouped
-    schedule (default, any w; offsets radius 1 per supports_const3d)
-    caches the sublane (y) rolls per (dx, dy) — <=6 — and applies the
-    full-extent lane (z) rolls to the THREE dz-group SUMS — 2.  Band taps
-    read the SAME values as the rolled form: z bands as static column
-    slices of the unrolled q (roll+slice == slice at the shifted column,
-    wrap landing only where the true coefficient is zero), y bands as
-    (n, w, Z) sliver rolls.  Per-tap values are bitwise-identical; only
-    the acc summation order changes (grouped by dz)."""
+    measured vs ~0.04 ms memory floor).  Two schedules:
+
+    v1 (zint_ref None): grouped rolls — sublane (y) rolls cached per
+    (dx, dy), lane (z) rolls on the dz-group sums (or, MGTPU_PALLAS3D_MXU,
+    a tridiagonal matmul per multi-dz group), z-band values rebuilt per
+    COLUMN as (n, Y, 1) sliver ops.  The r4 NOBAND probe measured the
+    band share at ~0.1 ms per accumulation — HALF the fused-kernel cost:
+    a (n, Y, 1) op pads 1 -> 128 lanes, so each sliver costs half a
+    full-block VPU op.
+
+    v2 (zint_ref set; gate `use_bandv2`): interior via per-group
+    tridiagonal MXU matmuls whose BOUNDARY COLUMNS carry the true
+    (y-interior-invariant) z-band coefficients — multi-dz groups get their
+    z-bands for free — while single-dz (dz==0) groups add one contiguous
+    (n, Y, w) delta op per side ONLY for taps whose band coefficients
+    differ from the interior constant (static skip flags, band_meta).
+    Wrong values remain only on y-band rows (sublane-roll wrap) and
+    x-band rows — both overwritten afterwards, exactly as in v1.
+    """
     if not _grouped():
-        return _tap_accum_pertap(planes_of, c_ref, ytap, ztap, offsets,
-                                 w, n, Y, Z, dtype)
+        acc, zlo, zhi, ylo, yhi = _tap_accum_pertap(
+            planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype)
+        return acc, "overwrite", zlo, zhi, ylo, yhi
     qc = {}
 
     def q(dx, dy):
@@ -186,24 +247,20 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
                             if dy else p)
         return qc[(dx, dy)]
 
-    inner = {}
-    zlo = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
-    zhi = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
+    groups = {}
+    for k, (dx, dy, dz) in enumerate(offsets):
+        groups.setdefault((dx, dy), []).append((k, dz))
+    bands_on = not _probe_noband()
+    v2 = zint_ref is not None and bands_on
+
+    # y-band rows: always exact overwrite values (cheap — (n, w, Z) ops
+    # pad w -> 8 SUBLANES, a 4x waste, vs the z slivers' 64x lane waste)
     ylo = jnp.zeros((n, w, Z), dtype)
     yhi = jnp.zeros((n, w, Z), dtype)
-    bands_on = not _probe_noband()
     if bands_on:
         for k, (dx, dy, dz) in enumerate(offsets):
             qk = q(dx, dy)
-            zlo_c, zhi_c = ztap(k)
             ylo_c, yhi_c = ytap(k)
-            # roll_z(q)[:, :, j] == q[:, :, (j + dz) % Z]: band columns are
-            # static keep-dim slices of the UNROLLED array; the % wrap lands
-            # only where the tap reads outside the domain (true coeff 0)
-            for c in range(w):
-                jlo, jhi = (c + dz) % Z, (Z - w + c + dz) % Z
-                zlo[c] = zlo[c] + qk[:, :, jlo:jlo + 1] * zlo_c[:, :, c:c + 1]
-                zhi[c] = zhi[c] + qk[:, :, jhi:jhi + 1] * zhi_c[:, :, c:c + 1]
             rlo, rhi = qk[:, :w, :], qk[:, Y - w:, :]
             if dz:
                 rlo = pltpu.roll(rlo, np.int32(-dz % Z), axis=2)
@@ -211,16 +268,64 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
             ylo = ylo + rlo * ylo_c
             yhi = yhi + rhi * yhi_c
 
-    # interior accumulation: group taps by (dx, dy) so the (cached) sublane
-    # roll is shared; dz handling is either the dz-group lane rolls or —
-    # MXU mode — a tridiagonal (Z, Z) matmul per multi-dz group that folds
-    # the shift AND the coefficients (boundary columns get no wrap terms;
-    # they are band-overwritten anyway)
-    groups = {}
-    for k, (dx, dy, dz) in enumerate(offsets):
-        groups.setdefault((dx, dy), []).append((k, dz))
-    use_mxu = _mxu()
     acc = jnp.zeros((n, Y, Z), dtype)
+    if v2:
+        zlo_skip, zhi_skip, _ = band_meta
+        zdlo = jnp.zeros((n, Y, w), dtype)
+        zdhi = jnp.zeros((n, Y, w), dtype)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 1)
+        interior_col = (cc >= w) & (cc < Z - w)
+        for (dx, dy), taps in groups.items():
+            qk = q(dx, dy)
+            if any(dz for _, dz in taps):
+                # tridiagonal matmul; boundary columns carry the TRUE
+                # (y-invariant) band coefficients from the zint SMEM row
+                tz = jnp.zeros((Z, Z), dtype)
+                for k, dz in taps:
+                    tz = tz + jnp.where((rr - cc == dz) & interior_col,
+                                        c_ref[k], jnp.zeros((), dtype))
+                for k, dz in taps:
+                    for c in range(w):
+                        r_lo, r_hi = c + dz, Z - w + c + dz
+                        if 0 <= r_lo < Z:   # out-of-range: true coeff 0
+                            tz = tz + jnp.where(
+                                (cc == c) & (rr == r_lo),
+                                zint_ref[k, c], jnp.zeros((), dtype))
+                        if 0 <= r_hi < Z:
+                            tz = tz + jnp.where(
+                                (cc == Z - w + c) & (rr == r_hi),
+                                zint_ref[k, w + c], jnp.zeros((), dtype))
+                acc = acc + jax.lax.dot(
+                    qk.reshape(n * Y, Z), tz,
+                    precision=jax.lax.Precision.HIGHEST).reshape(n, Y, Z)
+            else:
+                for k, _dz in taps:       # all dz == 0: no shift, no wrap
+                    acc = acc + c_ref[k] * qk
+                    if not zlo_skip[k]:
+                        zlo_c, _ = ztap(k)
+                        zdlo = zdlo + qk[:, :, :w] * (zlo_c - c_ref[k])
+                    if not zhi_skip[k]:
+                        _, zhi_c = ztap(k)
+                        zdhi = zdhi + qk[:, :, Z - w:] * (zhi_c - c_ref[k])
+        return acc, "delta", zdlo, zdhi, ylo, yhi
+
+    # v1: grouped rolls (or MXU interior), z-band columns rebuilt per tap
+    zlo = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
+    zhi = [jnp.zeros((n, Y, 1), dtype) for _ in range(w)]
+    if bands_on:
+        for k, (dx, dy, dz) in enumerate(offsets):
+            qk = q(dx, dy)
+            zlo_c, zhi_c = ztap(k)
+            # roll_z(q)[:, :, j] == q[:, :, (j + dz) % Z]: band columns are
+            # static keep-dim slices of the UNROLLED array; the % wrap lands
+            # only where the tap reads outside the domain (true coeff 0)
+            for c in range(w):
+                jlo, jhi = (c + dz) % Z, (Z - w + c + dz) % Z
+                zlo[c] = zlo[c] + qk[:, :, jlo:jlo + 1] * zlo_c[:, :, c:c + 1]
+                zhi[c] = zhi[c] + qk[:, :, jhi:jhi + 1] * zhi_c[:, :, c:c + 1]
+    use_mxu = _mxu()
+    inner = {}
     for (dx, dy), taps in groups.items():
         qk = q(dx, dy)
         if use_mxu and any(dz for _, dz in taps):
@@ -240,7 +345,7 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype):
     for dz in sorted(inner):
         v = inner[dz]
         acc = acc + (pltpu.roll(v, np.int32(-dz % Z), axis=2) if dz else v)
-    return acc, tuple(zlo), tuple(zhi), ylo, yhi
+    return acc, "overwrite", tuple(zlo), tuple(zhi), ylo, yhi
 
 
 def inkernel_xband() -> bool:
@@ -337,13 +442,19 @@ def face_specs(fyq, fzq, w, Y, Z):
                          memory_space=pltpu.VMEM)]
 
 
-def _interior_kernel(offsets, w, nb, xb, c_ref, fy_ref, fz_ref, *rest):
+def _interior_kernel(offsets, w, nb, xb, bm, c_ref, fy_ref, fz_ref, *rest):
     """Const-coefficient apply + in-kernel y/z band recomputation.
 
-    The band values overwrite the output via PARTIAL ref stores — Mosaic's
-    concatenate rejects the band/interior stitch at sub-128-lane layouts.
+    The band values land via PARTIAL ref stores — Mosaic's concatenate
+    rejects the band/interior stitch at sub-128-lane layouts.
     xb = (i_last, off) folds the exact x-band rows in too (inkernel_xband);
-    None keeps the separate aliased row kernel (_apply_xband)."""
+    None keeps the separate aliased row kernel (_apply_xband).
+    bm = band_meta when the v2 additive z-band schedule is active (the
+    caller then also passes the zint SMEM operand)."""
+    if bm is not None:
+        zint_ref, *rest = rest
+    else:
+        zint_ref = None
     if xb is not None:
         fxn_ref, xm_ref, x0_ref, xp_ref, y_ref = rest
     else:
@@ -361,17 +472,11 @@ def _interior_kernel(offsets, w, nb, xb, c_ref, fy_ref, fz_ref, *rest):
         0: cur,
         1: jnp.concatenate([cur[1:], bot], axis=0),     # x[i+1]
     }
-    acc, zlo, zhi, ylo, yhi = tap_accum(
+    res = tap_accum(
         lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
-        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype)
-    y_ref[:] = acc
-    # band overwrites: all band arrays carry TRUE coefficients on their full
-    # extent, so the z/y overlap (corners) agrees and write order is free
-    for c in range(w):
-        y_ref[:, :, c:c + 1] = zlo[c]
-        y_ref[:, :, Z - w + c:Z - w + c + 1] = zhi[c]
-    y_ref[:, :w, :] = ylo
-    y_ref[:, Y - w:, :] = yhi
+        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype,
+        band_meta=bm, zint_ref=zint_ref)
+    store_banded(y_ref, 0, cur.shape[0], res, w, Y, Z)
     if xb is not None:
         # fx carries TRUE coefficients on the whole band row (corners
         # included), so the full-row overwrite must come LAST
@@ -448,8 +553,11 @@ def _apply_xband(y, x, b, d, fx, offsets, w, mode, interpret):
         )(xwin, fx, b, x, d, y)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "w", "interpret"))
-def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "w", "interpret",
+                                    "band_meta"))
+def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
+                band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
@@ -457,7 +565,8 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
     nb = Xp // _BX
     fold = inkernel_xband()
     xb = _xband_rows(X, w) if fold else None
-    kern = functools.partial(_interior_kernel, offsets, w, nb, xb)
+    bm = band_meta if use_bandv2(band_meta, fyq.shape[2] == 1) else None
+    kern = functools.partial(_interior_kernel, offsets, w, nb, xb, bm)
     # NOTE: this toolchain's Mosaic cannot lower ANY pallas_call traced under
     # jax_enable_x64 (an internal i64 index function fails to legalize);
     # tracing the call in a local 32-bit scope is semantically inert here
@@ -466,6 +575,10 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
+    if bm is not None:
+        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ops.append(fzq[:, :, 0, w])
     if fold:
         # constant-index block: fetched once, stays VMEM-resident
         in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),
@@ -506,14 +619,15 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret):
 
 
 def const3d_matvec_pallas(const, faces, offsets, x, w: int,
-                          interpret: bool = False):
+                          interpret: bool = False, band_meta=None):
     """Exact y = A x for a 3D constant-interior stencil; x (..., X, Y, Z)."""
     grid = x.shape[-3:]
     lead = x.shape[:-3]
     fx, fyq, fzq = faces[:3]
     xr = x.reshape((-1,) + grid)
     fn = lambda v: _matvec_one(const, fx, fyq, fzq, v,
-                               tuple(map(tuple, offsets)), w, interpret)
+                               tuple(map(tuple, offsets)), w, interpret,
+                               band_meta=band_meta)
     if xr.shape[0] == 1:
         out = fn(xr[0])[None]
     else:

@@ -36,15 +36,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .const3d import _BX, _apply_xband, _xband_rows, face_specs, \
-    fx_narrow, inkernel_xband, main_ytap, main_ztap, tap_accum, xband_row
+    fx_narrow, inkernel_xband, main_ytap, main_ztap, store_banded, \
+    tap_accum, use_bandv2, xband_row
 
 __all__ = ["residual3d", "jacobi3d", "jacobi_corr3d", "jacobi_residual3d"]
 
 
-def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, c_ref, fy_ref, fz_ref,
-                  *rest):
+def _active_band_meta(A):
+    """Resolve the v2 band schedule OUTSIDE the jit boundary: band_meta is
+    a static jit key, so the env opt-out (use_bandv2) must decide BEFORE
+    the cached trace is looked up — resolving inside the jitted body would
+    let a stale schedule survive an env toggle."""
+    bmeta = getattr(A, "band_meta", None)
+    compact = A.faces is not None and A.faces[1].shape[2] == 1
+    return bmeta if use_bandv2(bmeta, compact) else None
+
+
+def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, bm, c_ref, fy_ref,
+                  fz_ref, *rest):
+    if bm is not None:                 # v2 additive z-band schedule
+        zint_ref, *rest = rest
+    else:
+        zint_ref = None
     if xb is not None:                 # in-kernel x-band fold (fx_narrow)
-        fxn_ref, *rest = rest          # fxn comes RIGHT AFTER fz (specs)
+        fxn_ref, *rest = rest          # fxn comes RIGHT AFTER fz/zint
     xm_ref, x0_ref, xp_ref, *rest = rest
     if has_p:
         pm_ref, p0_ref, pp_ref, b_ref, *rest = rest
@@ -70,15 +85,11 @@ def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, c_ref, fy_ref, fz_ref,
         0: cur,
         1: jnp.concatenate([cur[1:], bot], axis=0),
     }
-    acc, zlo, zhi, ylo, yhi = tap_accum(
+    res = tap_accum(
         lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
-        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype)
-    ax_ref[:] = acc
-    for c in range(w):
-        ax_ref[:, :, c:c + 1] = zlo[c]
-        ax_ref[:, :, Z - w + c:Z - w + c + 1] = zhi[c]
-    ax_ref[:, :w, :] = ylo
-    ax_ref[:, Y - w:, :] = yhi
+        main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype,
+        band_meta=bm, zint_ref=zint_ref)
+    store_banded(ax_ref, 0, cur.shape[0], res, w, Y, Z)
     r = b_ref[:] - ax_ref[:]
     if do_jac:
         out_ref[:] = cur + d_ref[:] * r
@@ -101,9 +112,10 @@ def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, c_ref, fy_ref, fz_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "w", "do_jac", "interpret"))
+                   static_argnames=("offsets", "w", "do_jac", "interpret",
+                                    "band_meta"))
 def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
-               interpret):
+               interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
@@ -114,8 +126,9 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     has_p = p is not None
     fold = inkernel_xband()
     xb = _xband_rows(X, w) if fold else None
+    bm = band_meta if use_bandv2(band_meta, fyq.shape[2] == 1) else None
     kern = functools.partial(_fused_kernel, offsets, w, nb, do_jac, has_p,
-                             xb)
+                             xb, bm)
     blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
@@ -126,6 +139,10 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
+    if bm is not None:
+        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ops.append(fzq[:, :, 0, w])
     if fold:
         # constant-index block: fetched once, stays VMEM-resident
         in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),
@@ -168,7 +185,8 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     return out
 
 
-def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
+def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
+                   fz_ref, *rest):
     """Double apply: smooth the x-extended block, then the residual of the
     smoothed iterate — all taps in VMEM.
 
@@ -189,6 +207,10 @@ def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
     inexact, but every stage-B row they reach lies inside the
     first/last-2w exact-row fix — the same coverage the general path
     already requires."""
+    if bmeta is not None:              # v2 additive z-band schedule
+        zint_ref, *rest = rest
+    else:
+        zint_ref = None
     if compact:
         (xm2_ref, xm1_ref, x0_ref, xp1_ref, xp2_ref, bm_ref, b_ref, bp_ref,
          dm_ref, d_ref, dp_ref, x1_ref, r1_ref, ax_ref, x1s_ref) = rest
@@ -224,9 +246,10 @@ def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
         # ytap(k) -> (ylo_c, yhi_c) each (n, w, Z); ztap(k) -> (zlo_c,
         # zhi_c) each (n, Y, w).  Pre-shaped by the caller so halo slabs
         # (stored x-leading for Mosaic block tiling) need no in-kernel
-        # transposes.  Tap schedule: const3d.tap_accum (dz-grouped rolls).
+        # transposes.  Tap schedule: const3d.tap_accum.
         return tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n,
-                         Y, Z, cur.dtype)
+                         Y, Z, cur.dtype, band_meta=bmeta,
+                         zint_ref=zint_ref)
 
     def _tap_main_y(ref):
         # main fy block: ref[k] is (2w, B, Z) -> pair of (B, w, Z)
@@ -246,13 +269,7 @@ def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
 
     def _store(ref, a, b2, parts):
         # static slice bounds only — Mosaic lowers static partial stores
-        acc, zlo, zhi, ylo, yhi = parts
-        ref[a:b2] = acc
-        for c in range(w):
-            ref[a:b2, :, c:c + 1] = zlo[c]
-            ref[a:b2, :, Z - w + c:Z - w + c + 1] = zhi[c]
-        ref[a:b2, :w, :] = ylo
-        ref[a:b2, Y - w:, :] = yhi
+        store_banded(ref, a, b2, parts, w, Y, Z)
 
     if compact:
         # the one broadcast row serves main block and both halo planes
@@ -282,9 +299,11 @@ def _jacres_kernel(offsets, w, nb, compact, c_ref, fy_ref, fz_ref, *rest):
     r1_ref[:] = b_ref[:] - ax_ref[1:B + 1]
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "w", "interpret",
+                                    "band_meta"))
 def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
-                interpret):
+                interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
     Xp = -(-X // _BX) * _BX
@@ -294,7 +313,8 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     dq = jnp.pad(d, padX) if Xp != X else d
     nb = Xp // _BX
     compact = fyq.shape[2] == 1
-    kern = functools.partial(_jacres_kernel, offsets, w, nb, compact)
+    bmeta = band_meta if use_bandv2(band_meta, compact) else None
+    kern = functools.partial(_jacres_kernel, offsets, w, nb, compact, bmeta)
     blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
@@ -320,6 +340,10 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
+    if bmeta is not None:
+        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ops.append(fzq[:, :, 0, w])
     if not compact:
         in_specs += [fslab(Z, im1), fslab(Z, ip1),      # fy halo planes
                      fslab_z(Y, im1), fslab_z(Y, ip1)]  # fz halo planes
@@ -373,9 +397,10 @@ def residual3d(A, b, x, interpret: bool = False):
     """r = b - A x (exact), one fused pass; fields (..., X, Y, Z)."""
     w = A.boxes[0][1][0]
     fx, fyq, fzq = A.faces[:3]
+    bmeta = _active_band_meta(A)
     fn = lambda xx, bb: _fused_one(A.const, fx, fyq, fzq, xx, bb, None,
                                    None, tuple(map(tuple, A.offsets)), w,
-                                   False, interpret)
+                                   False, interpret, band_meta=bmeta)
     return _batched(fn, x, b)
 
 
@@ -384,9 +409,12 @@ def jacobi3d(A, d, b, x, interpret: bool = False):
     w = A.boxes[0][1][0]
     fx, fyq, fzq = A.faces[:3]
 
+    bmeta = _active_band_meta(A)
+
     def fn(xx, bb):
         return _fused_one(A.const, fx, fyq, fzq, xx, bb, d, None,
-                          tuple(map(tuple, A.offsets)), w, True, interpret)
+                          tuple(map(tuple, A.offsets)), w, True, interpret,
+                          band_meta=bmeta)
     return _batched(fn, x, b)
 
 
@@ -397,9 +425,12 @@ def jacobi_corr3d(A, d, b, x, p, interpret: bool = False):
     w = A.boxes[0][1][0]
     fx, fyq, fzq = A.faces[:3]
 
+    bmeta = _active_band_meta(A)
+
     def fn(xx, bb, pp):
         return _fused_one(A.const, fx, fyq, fzq, xx, bb, d, pp,
-                          tuple(map(tuple, A.offsets)), w, True, interpret)
+                          tuple(map(tuple, A.offsets)), w, True, interpret,
+                          band_meta=bmeta)
     return _batched(fn, x, b, p)
 
 
@@ -411,7 +442,10 @@ def jacobi_residual3d(A, d, b, x, interpret: bool = False):
     fyq_t = f[3] if len(f) > 3 else None     # general form only
     fzq_t = f[4] if len(f) > 4 else None
 
+    bmeta = _active_band_meta(A)
+
     def fn(xx, bb):
         return _jacres_one(A.const, f[0], f[1], f[2], fyq_t, fzq_t, xx, bb,
-                           d, tuple(map(tuple, A.offsets)), w, interpret)
+                           d, tuple(map(tuple, A.offsets)), w, interpret,
+                           band_meta=bmeta)
     return _batched(fn, x, b)

@@ -233,6 +233,112 @@ def smoke_fold():
         os.environ.pop("MGTPU_PALLAS3D_XBAND", None)
 
 
+def _real_op(dims, shift=1e-4):
+    """REAL operator path: make_grid_stencil on a nodal Laplacian — the
+    only constructor that attaches faces AND band_meta (compact form +
+    static skip flags), i.e. the configuration users actually run."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from mgtpu import get_regular_mesh
+    from mgtpu.models.operators import nodal_laplacian_matrix
+    from mgtpu.ops.grid_stencil import make_grid_stencil
+    M = get_regular_mesh([0.0, 1.0] * 3, list(dims))
+    L = nodal_laplacian_matrix(M)
+    L = (L + shift * abs(L).sum(0).max() * sp.identity(L.shape[0])
+         ).tocsr().astype(np.float32)
+    return make_grid_stencil(L, [d + 1 for d in dims])
+
+
+@gate("bandv2_real_operator")
+def smoke_bandv2():
+    """The v2 additive z-band schedule (tridiagonal MXU matmuls with true
+    boundary columns + static skip flags — r4) on a REAL operator with
+    band_meta attached: compiled numerics vs interpret on the chip."""
+    import os
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    os.environ["MGTPU_PALLAS3D_MIN"] = "1000"
+    try:
+        A = _real_op((40, 36, 34))
+        assert A.faces is not None and len(A.faces) == 3
+        assert A.band_meta is not None and A.band_meta[2], A.band_meta
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((2,) + A.grid)
+                        .astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((2,) + A.grid)
+                        .astype(np.float32))
+        d = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
+        p = jnp.asarray(rng.standard_normal((2,) + A.grid)
+                        .astype(np.float32))
+        w = A.boxes[0][1][0]
+        mv = lambda i: const3d_matvec_pallas(A.const, A.faces, A.offsets,
+                                             x, w, interpret=i,
+                                             band_meta=A.band_meta)
+        _close(mv(False), mv(True))
+        _close(f3k.jacobi_corr3d(A, d, b, x, p, interpret=False),
+               f3k.jacobi_corr3d(A, d, b, x, p, interpret=True))
+        x1, r1 = f3k.jacobi_residual3d(A, d, b, x, interpret=False)
+        x1i, r1i = f3k.jacobi_residual3d(A, d, b, x, interpret=True)
+        _close(x1, x1i)
+        _close(r1, r1i)
+    finally:
+        os.environ.pop("MGTPU_PALLAS3D_MIN", None)
+
+
+@gate("knob_matrix")
+def smoke_knobs():
+    """Sweep the user-settable trace-time knob combinations (VERDICT r3
+    item 9: an untested knob combination must not be able to ship broken
+    the way fused3d did in r2).  Each combo uses DISTINCT extents — the
+    knobs are read at trace time, so a same-shape call would silently
+    reuse the cached trace of the previous combo.  MGTPU_PALLAS3D_BX is
+    import-time and cannot be swept in-process; run the whole gate with it
+    set to cover that knob."""
+    import os
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas
+    os.environ["MGTPU_PALLAS3D_MIN"] = "1000"
+    combos = [({"MGTPU_PALLAS3D_GROUPED": "0"}, (34, 38, 40)),
+              ({"MGTPU_PALLAS3D_BANDV2": "0"}, (38, 40, 34)),
+              ({"MGTPU_PALLAS3D_BANDV2": "0",
+                "MGTPU_PALLAS3D_MXU": "1"}, (40, 34, 38)),
+              ({"MGTPU_PALLAS3D_XBAND": "fold"}, (36, 34, 42))]
+    try:
+        for env, dims in combos:
+            old = {}
+            for k, v in env.items():
+                old[k] = os.environ.get(k)
+                os.environ[k] = v
+            try:
+                A = _real_op(dims)
+                rng = np.random.default_rng(sum(dims))
+                x = jnp.asarray(rng.standard_normal(A.grid)
+                                .astype(np.float32))
+                b = jnp.asarray(rng.standard_normal(A.grid)
+                                .astype(np.float32))
+                d = jnp.asarray(rng.standard_normal(A.grid)
+                                .astype(np.float32))
+                w = A.boxes[0][1][0]
+                mv = lambda i: const3d_matvec_pallas(
+                    A.const, A.faces, A.offsets, x, w, interpret=i,
+                    band_meta=A.band_meta)
+                _close(mv(False), mv(True))
+                x1, r1 = f3k.jacobi_residual3d(A, d, b, x, interpret=False)
+                x1i, r1i = f3k.jacobi_residual3d(A, d, b, x, interpret=True)
+                _close(x1, x1i)
+                _close(r1, r1i)
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+    finally:
+        os.environ.pop("MGTPU_PALLAS3D_MIN", None)
+
+
 @gate("tridiag_line_solve")
 def smoke_tridiag():
     """Lower AND check exactness vs the XLA doubling scan on the chip
@@ -325,7 +431,8 @@ def main(argv):
               "on the real chip", flush=True)
         return 2
     smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_w2,
-              smoke_compact, smoke_fold, smoke_tridiag, smoke_stencil2d]
+              smoke_compact, smoke_fold, smoke_bandv2, smoke_knobs,
+              smoke_tridiag, smoke_stencil2d]
     if "--fast" not in argv:
         smokes.append(smoke_cycle3d)
     for s in smokes:
