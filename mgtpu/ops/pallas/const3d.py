@@ -184,6 +184,54 @@ def band_meta_of(const, faces, w: int):
     return (zlo, zhi, z_inv)
 
 
+def mxu_group_keys(offsets):
+    """Deterministic (dx, dy) keys of the multi-dz tap groups — the groups
+    tap_accum v2 applies via tridiagonal matmuls.  Order is first-tap
+    order; shared by build_tz (operand layout) and the kernels (lookup)."""
+    groups, order = {}, []
+    for k, (dx, dy, dz) in enumerate(offsets):
+        if (dx, dy) not in groups:
+            groups[(dx, dy)] = []
+            order.append((dx, dy))
+        groups[(dx, dy)].append((k, dz))
+    return tuple(key for key in order if any(dz for _, dz in groups[key]))
+
+
+def build_tz(const, zint, offsets, w: int, Z: int, dtype):
+    """(G, Z, Z) tridiagonal matrices for the multi-dz groups, built ONCE
+    per apply in XLA and passed as a constant-index VMEM operand — at
+    BX=3 the in-kernel mask construction ran 43 times per call (one per
+    grid step) and showed up in the slope timings.
+
+    Interior columns carry the constant coefficients on their dz
+    diagonals; the first/last w columns carry the TRUE
+    (y-interior-invariant) z-band coefficients from `zint` (nd, 2w)."""
+    groups = {}
+    for k, (dx, dy, dz) in enumerate(offsets):
+        groups.setdefault((dx, dy), []).append((k, dz))
+    keys = mxu_group_keys(offsets)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 1)
+    interior_col = (cc >= w) & (cc < Z - w)
+    mats = []
+    for key in keys:
+        tz = jnp.zeros((Z, Z), dtype)
+        for k, dz in groups[key]:
+            tz = tz + jnp.where((rr - cc == dz) & interior_col,
+                                const[k], jnp.zeros((), dtype))
+            for c in range(w):
+                r_lo, r_hi = c + dz, Z - w + c + dz
+                if 0 <= r_lo < Z:       # out-of-range: true coeff 0
+                    tz = tz + jnp.where((cc == c) & (rr == r_lo),
+                                        zint[k, c], jnp.zeros((), dtype))
+                if 0 <= r_hi < Z:
+                    tz = tz + jnp.where((cc == Z - w + c) & (rr == r_hi),
+                                        zint[k, w + c],
+                                        jnp.zeros((), dtype))
+        mats.append(tz)
+    return jnp.stack(mats)
+
+
 def store_banded(ref, a, b, res, w, Y, Z):
     """Write one tap_accum result into ref[a:b] (static slice bounds only —
     Mosaic lowers static partial stores).  Band semantics by mode:
@@ -206,7 +254,7 @@ def store_banded(ref, a, b, res, w, Y, Z):
 
 
 def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype,
-              band_meta=None, zint_ref=None):
+              band_meta=None, zint_ref=None, tz_ref=None):
     """Band-corrected stencil tap accumulation over one x-plane group.
 
     planes_of(dx) -> (n, Y, Z) tap source for x offset dx; c_ref[k] the
@@ -251,7 +299,7 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype,
     for k, (dx, dy, dz) in enumerate(offsets):
         groups.setdefault((dx, dy), []).append((k, dz))
     bands_on = not _probe_noband()
-    v2 = zint_ref is not None and bands_on
+    v2 = zint_ref is not None and tz_ref is not None and bands_on
 
     # y-band rows: always exact overwrite values (cheap — (n, w, Z) ops
     # pad w -> 8 SUBLANES, a 4x waste, vs the z slivers' 64x lane waste)
@@ -273,31 +321,17 @@ def tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z, dtype,
         zlo_skip, zhi_skip, _ = band_meta
         zdlo = jnp.zeros((n, Y, w), dtype)
         zdhi = jnp.zeros((n, Y, w), dtype)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (Z, Z), 1)
-        interior_col = (cc >= w) & (cc < Z - w)
+        mxu_keys = mxu_group_keys(offsets)
         for (dx, dy), taps in groups.items():
             qk = q(dx, dy)
             if any(dz for _, dz in taps):
-                # tridiagonal matmul; boundary columns carry the TRUE
-                # (y-invariant) band coefficients from the zint SMEM row
-                tz = jnp.zeros((Z, Z), dtype)
-                for k, dz in taps:
-                    tz = tz + jnp.where((rr - cc == dz) & interior_col,
-                                        c_ref[k], jnp.zeros((), dtype))
-                for k, dz in taps:
-                    for c in range(w):
-                        r_lo, r_hi = c + dz, Z - w + c + dz
-                        if 0 <= r_lo < Z:   # out-of-range: true coeff 0
-                            tz = tz + jnp.where(
-                                (cc == c) & (rr == r_lo),
-                                zint_ref[k, c], jnp.zeros((), dtype))
-                        if 0 <= r_hi < Z:
-                            tz = tz + jnp.where(
-                                (cc == Z - w + c) & (rr == r_hi),
-                                zint_ref[k, w + c], jnp.zeros((), dtype))
+                # tridiagonal matmul; tz built ONCE per apply outside the
+                # kernel (build_tz — boundary columns carry the TRUE
+                # y-invariant band coefficients) and fetched as a
+                # constant-index VMEM block, not rebuilt per grid step
+                g = mxu_keys.index((dx, dy))
                 acc = acc + jax.lax.dot(
-                    qk.reshape(n * Y, Z), tz,
+                    qk.reshape(n * Y, Z), tz_ref[g],
                     precision=jax.lax.Precision.HIGHEST).reshape(n, Y, Z)
             else:
                 for k, _dz in taps:       # all dz == 0: no shift, no wrap
@@ -450,11 +484,12 @@ def _interior_kernel(offsets, w, nb, xb, bm, c_ref, fy_ref, fz_ref, *rest):
     xb = (i_last, off) folds the exact x-band rows in too (inkernel_xband);
     None keeps the separate aliased row kernel (_apply_xband).
     bm = band_meta when the v2 additive z-band schedule is active (the
-    caller then also passes the zint SMEM operand)."""
+    caller then also passes the zint SMEM row and the prebuilt tz
+    matrices)."""
     if bm is not None:
-        zint_ref, *rest = rest
+        zint_ref, tz_ref, *rest = rest
     else:
-        zint_ref = None
+        zint_ref = tz_ref = None
     if xb is not None:
         fxn_ref, xm_ref, x0_ref, xp_ref, y_ref = rest
     else:
@@ -475,7 +510,7 @@ def _interior_kernel(offsets, w, nb, xb, bm, c_ref, fy_ref, fz_ref, *rest):
     res = tap_accum(
         lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
         main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype,
-        band_meta=bm, zint_ref=zint_ref)
+        band_meta=bm, zint_ref=zint_ref, tz_ref=tz_ref)
     store_banded(y_ref, 0, cur.shape[0], res, w, Y, Z)
     if xb is not None:
         # fx carries TRUE coefficients on the whole band row (corners
@@ -576,9 +611,17 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
     if bm is not None:
-        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident,
+        # and the prebuilt (G, Z, Z) tridiagonal matrices (constant-index
+        # VMEM block — fetched once, not rebuilt per grid step)
+        zint = fzq[:, :, 0, w]
+        tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
+        G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        ops.append(fzq[:, :, 0, w])
+        ops.append(zint)
+        in_specs.append(pl.BlockSpec((G, Z, Z), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        ops.append(tzm)
     if fold:
         # constant-index block: fetched once, stays VMEM-resident
         in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),

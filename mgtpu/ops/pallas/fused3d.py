@@ -35,9 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .const3d import _BX, _apply_xband, _xband_rows, face_specs, \
-    fx_narrow, inkernel_xband, main_ytap, main_ztap, store_banded, \
-    tap_accum, use_bandv2, xband_row
+from .const3d import _BX, _apply_xband, _xband_rows, build_tz, \
+    face_specs, fx_narrow, inkernel_xband, main_ytap, main_ztap, \
+    store_banded, tap_accum, use_bandv2, xband_row
 
 __all__ = ["residual3d", "jacobi3d", "jacobi_corr3d", "jacobi_residual3d"]
 
@@ -55,9 +55,9 @@ def _active_band_meta(A):
 def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, bm, c_ref, fy_ref,
                   fz_ref, *rest):
     if bm is not None:                 # v2 additive z-band schedule
-        zint_ref, *rest = rest
+        zint_ref, tz_ref, *rest = rest
     else:
-        zint_ref = None
+        zint_ref = tz_ref = None
     if xb is not None:                 # in-kernel x-band fold (fx_narrow)
         fxn_ref, *rest = rest          # fxn comes RIGHT AFTER fz/zint
     xm_ref, x0_ref, xp_ref, *rest = rest
@@ -88,7 +88,7 @@ def _fused_kernel(offsets, w, nb, do_jac, has_p, xb, bm, c_ref, fy_ref,
     res = tap_accum(
         lambda dx: planes[dx], c_ref, main_ytap(fy_ref, w),
         main_ztap(fz_ref, w), offsets, w, cur.shape[0], Y, Z, cur.dtype,
-        band_meta=bm, zint_ref=zint_ref)
+        band_meta=bm, zint_ref=zint_ref, tz_ref=tz_ref)
     store_banded(ax_ref, 0, cur.shape[0], res, w, Y, Z)
     r = b_ref[:] - ax_ref[:]
     if do_jac:
@@ -140,9 +140,16 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
     if bm is not None:
-        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        # y-invariant z-band scalars (SMEM) + prebuilt (G, Z, Z) tz
+        # matrices (constant-index VMEM block, built once per apply)
+        zint = fzq[:, :, 0, w]
+        tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
+        G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        ops.append(fzq[:, :, 0, w])
+        ops.append(zint)
+        in_specs.append(pl.BlockSpec((G, Z, Z), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        ops.append(tzm)
     if fold:
         # constant-index block: fetched once, stays VMEM-resident
         in_specs.append(pl.BlockSpec((nd, 2 * w, Y, Z),
@@ -208,9 +215,9 @@ def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
     first/last-2w exact-row fix — the same coverage the general path
     already requires."""
     if bmeta is not None:              # v2 additive z-band schedule
-        zint_ref, *rest = rest
+        zint_ref, tz_ref, *rest = rest
     else:
-        zint_ref = None
+        zint_ref = tz_ref = None
     if compact:
         (xm2_ref, xm1_ref, x0_ref, xp1_ref, xp2_ref, bm_ref, b_ref, bp_ref,
          dm_ref, d_ref, dp_ref, x1_ref, r1_ref, ax_ref, x1s_ref) = rest
@@ -249,7 +256,7 @@ def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
         # transposes.  Tap schedule: const3d.tap_accum.
         return tap_accum(planes_of, c_ref, ytap, ztap, offsets, w, n,
                          Y, Z, cur.dtype, band_meta=bmeta,
-                         zint_ref=zint_ref)
+                         zint_ref=zint_ref, tz_ref=tz_ref)
 
     def _tap_main_y(ref):
         # main fy block: ref[k] is (2w, B, Z) -> pair of (B, w, Z)
@@ -341,9 +348,16 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     in_specs += face_specs(fyq, fzq, w, Y, Z)
     ops = [const, fyq, fzq]
     if bmeta is not None:
-        # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident
+        # y-invariant z-band scalars (SMEM) + prebuilt (G, Z, Z) tz
+        # matrices (constant-index VMEM block, built once per apply)
+        zint = fzq[:, :, 0, w]
+        tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
+        G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        ops.append(fzq[:, :, 0, w])
+        ops.append(zint)
+        in_specs.append(pl.BlockSpec((G, Z, Z), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        ops.append(tzm)
     if not compact:
         in_specs += [fslab(Z, im1), fslab(Z, ip1),      # fy halo planes
                      fslab_z(Y, im1), fslab_z(Y, ip1)]  # fz halo planes

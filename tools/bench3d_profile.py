@@ -80,16 +80,31 @@ def main():
         o["hier"].levels[0].P1), base)
     print(f"restrict+prolong+add   : {t_rt:.3f} ms")
 
-    # coarse sub-cycle: V-cycle from level 1 on the restricted field
-    bc = grid_restrict(bg, lvl.P1)
-    coarse_ops = {"x0": jnp.zeros_like(bc), "b": bc, "hier": hier}
-    t_coarse = chain(lambda o, x: grid_cycle(cfg, o["hier"], o["b"], x,
-                                             level=1), coarse_ops)
-    print(f"coarse sub-cycle (L1+) : {t_coarse:.3f} ms")
+    # coarse sub-cycles: V-cycle from each level on the restricted field —
+    # the per-level deltas localise where the coarse milliseconds live
+    bc = bg
+    t_coarse = None
+    for l in range(1, levels - 1):
+        bc = grid_restrict(bc, hier.levels[l - 1].P1)
+        ops_l = {"x0": jnp.zeros_like(bc), "b": bc, "hier": hier}
+        t_l = chain(lambda o, x, l=l: grid_cycle(cfg, o["hier"], o["b"], x,
+                                                 level=l), ops_l)
+        if t_coarse is None:
+            t_coarse = t_l
+        print(f"coarse sub-cycle (L{l}+) : {t_l:.3f} ms")
 
-    acct = t_jacres + t_jac + t_rt + t_coarse
+    acct = t_jacres + t_jac + t_rt + (t_coarse or 0.0)
     print(f"accounted {acct:.3f} vs cycle {t_cycle:.3f} ms "
           f"(rt double-counts the +add)")
+
+    # no-smoother cycle: transfers + coarse + plumbing only (isolates the
+    # composed-cycle overhead the per-component chains cannot see)
+    cfg0, rp0 = get_mg_param(levels=levels, relax_type="jacobi",
+                             relax_param=0.8, nu_pre=0, nu_post=0,
+                             dtype=np.float32)
+    st0 = mg_setup(L3, M3, cfg0, rp0)
+    t0c = chain(lambda o, x: grid_cycle(cfg0, st0.hier, o["b"], x), base)
+    print(f"nu=0 cycle (no smooth) : {t0c:.3f} ms")
 
 
 if __name__ == "__main__":
