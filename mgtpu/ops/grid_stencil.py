@@ -497,7 +497,7 @@ class ConstGridStencil:
         # band_meta is a static jit key, so the env toggle must change the
         # key, not just the (cached) trace body
         from .pallas.const3d import use_bandv2
-        compact = self.faces is not None and self.faces[1].shape[2] == 1
+        compact = self.faces is not None and self.faces[1].shape[1] == 1
         return (self.band_meta
                 if use_bandv2(self.band_meta, compact) else None)
 

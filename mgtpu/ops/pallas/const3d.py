@@ -39,12 +39,29 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["supports_const3d", "build_faces", "fx_narrow",
            "const3d_matvec_pallas"]
 
-# X-axis block rows per grid step.  8 = one sublane tile; larger blocks
-# amortise the per-block halo concats and grid overhead at more VMEM
-# (A/B knob: read ONCE at import so setup-built face padding and kernel
-# BlockSpecs always agree within a process).
+# X-axis block rows per grid step.  Env knob read ONCE at import so
+# setup-built face padding and kernel BlockSpecs always agree within a
+# process; without the knob the choice is PER-SHAPE (bx_for).
 import os as _os
-_BX = int(_os.environ.get("MGTPU_PALLAS3D_BX", "8"))
+_BX_ENV = _os.environ.get("MGTPU_PALLAS3D_BX", "")
+
+
+def bx_for(X: int) -> int:
+    """X-axis block rows per grid step for an X-plane field.
+
+    Divisibility beats block size on this hardware: when BX divides X the
+    per-call field pad and output slice copies disappear, measured r4 at
+    129^3 as cycle 1.85 ms (BX=8, 129 = 16x8+1: pad+slice every call) ->
+    1.545 ms (BX=3, 43 exact steps) — ROADMAP 2c.  So pick the LARGEST
+    divisor of X in 8..3 (fewer grid steps amortise per-step overhead),
+    falling back to a padded BX=8 when X is prime-ish (no divisor >= 3).
+    MGTPU_PALLAS3D_BX (import-time) forces one value for A/B runs."""
+    if _BX_ENV:
+        return int(_BX_ENV)
+    for d in (8, 7, 6, 5, 4, 3):
+        if X % d == 0:
+            return d
+    return 8
 
 
 def supports_const3d(offsets, grid, dtype) -> bool:
@@ -75,7 +92,7 @@ def build_faces(coeff: np.ndarray, w: int):
     coefficients.  Two forms:
 
     COMPACT (3-tuple, the common case): (fx (nd, 4w, Y, Z),
-    fyc (nd, 2w, 1, Z), fzc (nd, 2w, 1, Y)).  For a constant-interior
+    fyc (nd, 1, 2w, Z), fzc (nd, 1, 2w, Y)).  For a constant-interior
     operator the y/z band coefficients can vary with x only inside the x
     band — and the x-band rows are always overwritten by the exact-row fix
     (fx taps).  When that invariance holds on the consumed rows
@@ -86,35 +103,41 @@ def build_faces(coeff: np.ndarray, w: int):
     biggest byte stream after the fields themselves) and makes the
     double-apply halo slabs (fyq_t/fzq_t transposes) unnecessary.
 
-    GENERAL (5-tuple fallback, x-varying bands): (fx, fyq (nd, 2w, Xp, Z),
-    fzq (nd, 2w, Xp, Y), fyq_t (Xp, nd, 2w, Z), fzq_t (Xp, nd, Y, 2w));
-    fyq/fzq pre-padded to the _BX-multiple X extent and fyq_t/fzq_t
+    GENERAL (5-tuple fallback, x-varying bands): (fx, fyq (nd, Xp, 2w, Z),
+    fzq (nd, Xp, 2w, Y), fyq_t (Xp, nd, 2w, Z), fzq_t (Xp, nd, Y, 2w));
+    fyq/fzq pre-padded to the bx_for(X)-multiple X extent and fyq_t/fzq_t
     pre-transposed to the x-leading layout the double-apply halo slabs
-    need (hoisted to setup r3; ROADMAP item 2a).
+    need (hoisted to setup r3; ROADMAP item 2a).  The X axis sits SECOND
+    (not third): a streamed (nd, bx, 2w, .) block then has its last two
+    dims equal to the array dims, which Mosaic accepts for ANY bx — the
+    old (nd, 2w, Xp, .) layout needed bx % 8 == 0 (blocked sublane dim)
+    and broke at the auto-BX divisors (r4 smoke-gate catch).
 
     fx carries 2w planes per side (not w): the fused double-apply kernel
     (fused3d.jacobi_residual3d) needs exact row taps on 2w planes — its
     second apply reads the x-band-corrected smoother output one plane in.
     Single-apply kernels slice the inner w planes via `fx_narrow`."""
     X = coeff.shape[1]
-    Xp = -(-X // _BX) * _BX
+    bx = bx_for(X)
+    Xp = -(-X // bx) * bx
     fx = np.concatenate([coeff[:, :2 * w], coeff[:, -2 * w:]], axis=1)
-    fy = np.moveaxis(np.concatenate([coeff[:, :, :w], coeff[:, :, -w:]],
-                                    axis=2), 2, 1)
-    fz = np.moveaxis(np.concatenate([coeff[:, :, :, :w], coeff[:, :, :, -w:]],
-                                    axis=3), 3, 1)
+    # x-SECOND layouts (see GENERAL above): fy (nd, X, 2w, Z),
+    # fz (nd, X, 2w, Y)
+    fy = np.concatenate([coeff[:, :, :w], coeff[:, :, -w:]], axis=2)
+    fz = np.moveaxis(np.concatenate([coeff[:, :, :, :w],
+                                     coeff[:, :, :, -w:]], axis=3), 3, 2)
     compact_ok = _os.environ.get("MGTPU_PALLAS3D_COMPACT", "1") != "0"
     if X > 2 * w and compact_ok:
-        yc = fy[:, :, w:X - w]
-        zc = fz[:, :, w:X - w]
-        if ((yc == yc[:, :, :1]).all() and (zc == zc[:, :, :1]).all()):
-            return (fx, np.ascontiguousarray(yc[:, :, :1]),
-                    np.ascontiguousarray(zc[:, :, :1]))
-    padX = ((0, 0), (0, 0), (0, Xp - X), (0, 0))
+        yc = fy[:, w:X - w]
+        zc = fz[:, w:X - w]
+        if ((yc == yc[:, :1]).all() and (zc == zc[:, :1]).all()):
+            return (fx, np.ascontiguousarray(yc[:, :1]),
+                    np.ascontiguousarray(zc[:, :1]))
+    padX = ((0, 0), (0, Xp - X), (0, 0), (0, 0))
     fyq = np.pad(fy, padX)
     fzq = np.pad(fz, padX)
-    fyq_t = np.ascontiguousarray(np.transpose(fyq, (2, 0, 1, 3)))
-    fzq_t = np.ascontiguousarray(np.transpose(fzq, (2, 0, 3, 1)))
+    fyq_t = np.ascontiguousarray(np.transpose(fyq, (1, 0, 2, 3)))
+    fzq_t = np.ascontiguousarray(np.transpose(fzq, (1, 0, 3, 2)))
     return fx, fyq, fzq, fyq_t, fzq_t
 
 
@@ -156,7 +179,7 @@ def use_bandv2(band_meta, compact: bool) -> bool:
     """True when the additive z-band schedule (tap_accum v2) applies:
     compact (x-invariant) faces, y-interior-invariant z-band coefficients
     (band_meta[2]), the grouped schedule, and no opt-out.  Callers that
-    get True must pass the `zint` SMEM operand (fzq[:, :, 0, w])."""
+    get True must pass the `zint` SMEM operand (fzq[:, 0, :, w])."""
     import os
     return (band_meta is not None and band_meta[2] and compact
             and _grouped()
@@ -172,13 +195,13 @@ def band_meta_of(const, faces, w: int):
     faces only; None disables v2."""
     if len(faces) != 3:
         return None
-    fzc = np.asarray(faces[2])               # (nd, 2w, 1, Y)
+    fzc = np.asarray(faces[2])               # (nd, 1, 2w, Y)
     Y = fzc.shape[3]
     if Y <= 2 * w:
         return None
     nd = fzc.shape[0]
-    zlo = tuple(bool((fzc[k, :w] == const[k]).all()) for k in range(nd))
-    zhi = tuple(bool((fzc[k, w:] == const[k]).all()) for k in range(nd))
+    zlo = tuple(bool((fzc[k, :, :w] == const[k]).all()) for k in range(nd))
+    zhi = tuple(bool((fzc[k, :, w:] == const[k]).all()) for k in range(nd))
     inner = fzc[:, :, :, w:Y - w]
     z_inv = bool((inner == inner[:, :, :, :1]).all())
     return (zlo, zhi, z_inv)
@@ -394,9 +417,10 @@ def inkernel_xband() -> bool:
 def _xband_rows(X: int, w: int):
     """Static (block, in-block row, fx_narrow slot) triples for the 2w
     x-band rows 0..w-1 and X-w..X-1 (the hi rows may straddle a block
-    boundary when X % _BX < w)."""
+    boundary when X % bx < w)."""
+    bx = bx_for(X)
     rows = list(range(w)) + list(range(X - w, X))
-    return tuple((r // _BX, r % _BX, s) for s, r in enumerate(rows))
+    return tuple((r // bx, r % bx, s) for s, r in enumerate(rows))
 
 
 def xband_row(plane_of, fxn_ref, slot, offsets, Y, Z, dtype):
@@ -442,37 +466,37 @@ def _tap_accum_pertap(planes_of, c_ref, ytap, ztap, offsets, w, n, Y, Z,
 
 
 def main_ytap(fy_ref, w):
-    """Main-block fy taps: fy_ref[k] (2w, B, Z) -> ((B, w, Z) lo, hi).
+    """Main-block fy taps: fy_ref[k] (B, 2w, Z) -> ((B, w, Z) lo, hi).
     Compact faces (B == 1) broadcast against the (n, w, Z) accumulators."""
-    return lambda k: (jnp.moveaxis(fy_ref[k, :w], 0, 1),
-                      jnp.moveaxis(fy_ref[k, w:], 0, 1))
+    return lambda k: (fy_ref[k, :, :w], fy_ref[k, :, w:])
 
 
 def main_ztap(fz_ref, w):
-    """Main-block fz taps: fz_ref[k] (2w, B, Y) -> ((B, Y, w) lo, hi).
+    """Main-block fz taps: fz_ref[k] (B, 2w, Y) -> ((B, Y, w) lo, hi).
     Compact faces (B == 1) broadcast against the (n, Y, w) accumulators."""
-    return lambda k: (jnp.moveaxis(fz_ref[k, :w], 0, 2),
-                      jnp.moveaxis(fz_ref[k, w:], 0, 2))
+    return lambda k: (jnp.moveaxis(fz_ref[k, :, :w], 1, 2),
+                      jnp.moveaxis(fz_ref[k, :, w:], 1, 2))
 
 
-def face_specs(fyq, fzq, w, Y, Z):
+def face_specs(fyq, fzq, w, Y, Z, bx):
     """BlockSpecs for the y/z face coefficient arrays.  COMPACT faces
     (x-extent 1; build_faces) are constant-index blocks — fetched once,
     VMEM-resident across all grid steps (~14 KB instead of re-streaming an
-    (nd, 2w, Xp, .) array per kernel call).  GENERAL faces stream one
-    _BX-row slab per grid step (block dims match Mosaic tiling: the
-    sliced dim is second-from-last-but-two, never the minor pair)."""
+    (nd, Xp, 2w, .) array per kernel call).  GENERAL faces stream one
+    bx-row slab per grid step; the sliced X axis sits SECOND so the
+    block's last two dims equal the array dims — Mosaic accepts that for
+    any bx (the blocked-sublane form needed bx % 8 == 0)."""
     nd = fyq.shape[0]
-    if fyq.shape[2] == 1:
-        return [pl.BlockSpec((nd, 2 * w, 1, Z), lambda i: (0, 0, 0, 0),
+    if fyq.shape[1] == 1:
+        return [pl.BlockSpec((nd, 1, 2 * w, Z), lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nd, 2 * w, 1, Y), lambda i: (0, 0, 0, 0),
+                pl.BlockSpec((nd, 1, 2 * w, Y), lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
-    return [pl.BlockSpec((nd, 2 * w, _BX, Z),
-                         lambda i: (0, 0, jnp.int32(i), 0),
+    return [pl.BlockSpec((nd, bx, 2 * w, Z),
+                         lambda i: (0, jnp.int32(i), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nd, 2 * w, _BX, Y),
-                         lambda i: (0, 0, jnp.int32(i), 0),
+            pl.BlockSpec((nd, bx, 2 * w, Y),
+                         lambda i: (0, jnp.int32(i), 0, 0),
                          memory_space=pltpu.VMEM)]
 
 
@@ -595,12 +619,13 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
                 band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    Xp = -(-X // _BX) * _BX
+    bx = bx_for(X)
+    Xp = -(-X // bx) * bx
     xq = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0))) if Xp != X else x
-    nb = Xp // _BX
+    nb = Xp // bx
     fold = inkernel_xband()
     xb = _xband_rows(X, w) if fold else None
-    bm = band_meta if use_bandv2(band_meta, fyq.shape[2] == 1) else None
+    bm = band_meta if use_bandv2(band_meta, fyq.shape[1] == 1) else None
     kern = functools.partial(_interior_kernel, offsets, w, nb, xb, bm)
     # NOTE: this toolchain's Mosaic cannot lower ANY pallas_call traced under
     # jax_enable_x64 (an internal i64 index function fails to legalize);
@@ -608,13 +633,13 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
     # (all operand dtypes are explicit) and keeps the kernels usable from
     # x64-certified drivers like solve_mg_refined.
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += face_specs(fyq, fzq, w, Y, Z)
+    in_specs += face_specs(fyq, fzq, w, Y, Z, bx)
     ops = [const, fyq, fzq]
     if bm is not None:
         # y-invariant z-band coefficient scalars (nd, 2w), SMEM-resident,
         # and the prebuilt (G, Z, Z) tridiagonal matrices (constant-index
         # VMEM block — fetched once, not rebuilt per grid step)
-        zint = fzq[:, :, 0, w]
+        zint = fzq[:, 0, :, w]
         tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
         G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -630,13 +655,13 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
         ops.append(fx_narrow(fx, w))
     in_specs += [
         pl.BlockSpec((1, Y, Z),
-                     lambda i: (jnp.int32(jnp.maximum(i * _BX - 1, 0)),
+                     lambda i: (jnp.int32(jnp.maximum(i * bx - 1, 0)),
                                 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
+        pl.BlockSpec((bx, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Y, Z),
-                     lambda i: (jnp.int32(jnp.minimum(i * _BX + _BX,
+                     lambda i: (jnp.int32(jnp.minimum(i * bx + bx,
                                                       Xp - 1)), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -647,7 +672,7 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
             out_shape=jax.ShapeDtypeStruct((Xp, Y, Z), x.dtype),
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
+            out_specs=pl.BlockSpec((bx, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .const3d import _BX, _apply_xband, _xband_rows, build_tz, \
+from .const3d import _apply_xband, _xband_rows, build_tz, bx_for, \
     face_specs, fx_narrow, inkernel_xband, main_ytap, main_ztap, \
     store_banded, tap_accum, use_bandv2, xband_row
 
@@ -48,7 +48,7 @@ def _active_band_meta(A):
     the cached trace is looked up — resolving inside the jitted body would
     let a stale schedule survive an env toggle."""
     bmeta = getattr(A, "band_meta", None)
-    compact = A.faces is not None and A.faces[1].shape[2] == 1
+    compact = A.faces is not None and A.faces[1].shape[1] == 1
     return bmeta if use_bandv2(bmeta, compact) else None
 
 
@@ -118,31 +118,32 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
                interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    Xp = -(-X // _BX) * _BX
+    bx = bx_for(X)
+    Xp = -(-X // bx) * bx
     padX = ((0, Xp - X), (0, 0), (0, 0))
     xq = jnp.pad(x, padX) if Xp != X else x
     bq = jnp.pad(b, padX) if Xp != X else b
-    nb = Xp // _BX
+    nb = Xp // bx
     has_p = p is not None
     fold = inkernel_xband()
     xb = _xband_rows(X, w) if fold else None
-    bm = band_meta if use_bandv2(band_meta, fyq.shape[2] == 1) else None
+    bm = band_meta if use_bandv2(band_meta, fyq.shape[1] == 1) else None
     kern = functools.partial(_fused_kernel, offsets, w, nb, do_jac, has_p,
                              xb, bm)
-    blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
+    blk = lambda: pl.BlockSpec((bx, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
                                    lambda i: (jnp.int32(f(i)), 0, 0),
                                    memory_space=pltpu.VMEM)
-    im1 = lambda i: jnp.maximum(i * _BX - 1, 0)
-    ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
+    im1 = lambda i: jnp.maximum(i * bx - 1, 0)
+    ip1 = lambda i: jnp.minimum(i * bx + bx, Xp - 1)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += face_specs(fyq, fzq, w, Y, Z)
+    in_specs += face_specs(fyq, fzq, w, Y, Z, bx)
     ops = [const, fyq, fzq]
     if bm is not None:
         # y-invariant z-band scalars (SMEM) + prebuilt (G, Z, Z) tz
         # matrices (constant-index VMEM block, built once per apply)
-        zint = fzq[:, :, 0, w]
+        zint = fzq[:, 0, :, w]
         tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
         G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -174,7 +175,7 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
             grid=(nb,),
             in_specs=in_specs,
             out_specs=blk(),
-            scratch_shapes=[pltpu.VMEM((_BX, Y, Z), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((bx, Y, Z), x.dtype)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
         )(*ops)[:X]
@@ -313,16 +314,17 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
                 interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    Xp = -(-X // _BX) * _BX
+    bx = bx_for(X)
+    Xp = -(-X // bx) * bx
     padX = ((0, Xp - X), (0, 0), (0, 0))
     xq = jnp.pad(x, padX) if Xp != X else x
     bq = jnp.pad(b, padX) if Xp != X else b
     dq = jnp.pad(d, padX) if Xp != X else d
-    nb = Xp // _BX
-    compact = fyq.shape[2] == 1
+    nb = Xp // bx
+    compact = fyq.shape[1] == 1
     bmeta = band_meta if use_bandv2(band_meta, compact) else None
     kern = functools.partial(_jacres_kernel, offsets, w, nb, compact, bmeta)
-    blk = lambda: pl.BlockSpec((_BX, Y, Z), lambda i: (jnp.int32(i), 0, 0),
+    blk = lambda: pl.BlockSpec((bx, Y, Z), lambda i: (jnp.int32(i), 0, 0),
                                memory_space=pltpu.VMEM)
     plane = lambda f: pl.BlockSpec((1, Y, Z),
                                    lambda i: (jnp.int32(f(i)), 0, 0),
@@ -337,20 +339,20 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
     fslab_z = lambda m, f: pl.BlockSpec(
         (1, nd, m, 2 * w), lambda i: (jnp.int32(f(i)), 0, 0, 0),
         memory_space=pltpu.VMEM)
-    im1 = lambda i: jnp.maximum(i * _BX - 1, 0)
-    im2 = lambda i: jnp.maximum(i * _BX - 2, 0)
-    ip1 = lambda i: jnp.minimum(i * _BX + _BX, Xp - 1)
-    ip2 = lambda i: jnp.minimum(i * _BX + _BX + 1, Xp - 1)
+    im1 = lambda i: jnp.maximum(i * bx - 1, 0)
+    im2 = lambda i: jnp.maximum(i * bx - 2, 0)
+    ip1 = lambda i: jnp.minimum(i * bx + bx, Xp - 1)
+    ip2 = lambda i: jnp.minimum(i * bx + bx + 1, Xp - 1)
     # fyq/fzq (padded or compact) and — general form only — fyq_t/fzq_t
     # (x-leading transposed halo slabs) are precomputed at setup
     # (const3d.build_faces); compact faces need no slabs at all
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += face_specs(fyq, fzq, w, Y, Z)
+    in_specs += face_specs(fyq, fzq, w, Y, Z, bx)
     ops = [const, fyq, fzq]
     if bmeta is not None:
         # y-invariant z-band scalars (SMEM) + prebuilt (G, Z, Z) tz
         # matrices (constant-index VMEM block, built once per apply)
-        zint = fzq[:, :, 0, w]
+        zint = fzq[:, 0, :, w]
         tzm = build_tz(const, zint, offsets, w, Z, x.dtype)
         G = tzm.shape[0]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -376,8 +378,8 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
             grid=(nb,),
             in_specs=in_specs,
             out_specs=[blk(), blk()],
-            scratch_shapes=[pltpu.VMEM((_BX + 2, Y, Z), x.dtype),
-                            pltpu.VMEM((_BX + 2, Y, Z), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((bx + 2, Y, Z), x.dtype),
+                            pltpu.VMEM((bx + 2, Y, Z), x.dtype)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
         )(*ops)

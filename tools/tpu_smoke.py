@@ -8,11 +8,14 @@ snapshot (rule recorded in CLAUDE.md):
 
     python tools/tpu_smoke.py            # kernels + default 3D cycle config
     python tools/tpu_smoke.py --fast     # kernels only (skip mg_setup)
+    python tools/tpu_smoke.py --json P   # also record the result at path P
 
 Exit code 0 = every kernel lowers AND executes on the chip; nonzero = at
 least one failed (each failure prints its exception).  Shapes are chosen to
 exercise the padding paths (odd extents -> lane/sublane padding) and the
-default-on dispatch thresholds (>= 2M nodes for const3d).
+default-on dispatch thresholds (>= 2M nodes for const3d).  --json writes a
+round artifact (ADVICE r3: an unrecorded "gate passed" claim is just prose)
+— e.g. TPUSMOKE_r04.json at the repo root.
 """
 from __future__ import annotations
 
@@ -435,8 +438,22 @@ def main(argv):
               smoke_tridiag, smoke_stencil2d]
     if "--fast" not in argv:
         smokes.append(smoke_cycle3d)
+    t0 = time.time()
     for s in smokes:
         s()
+    if "--json" in argv:
+        import json
+        path = argv[argv.index("--json") + 1]
+        rec = {"ok": not FAILED,
+               "gates_run": len(smokes),
+               "failed": list(FAILED),
+               "backend": backend,
+               "device": str(jax.devices()[0]),
+               "elapsed_s": round(time.time() - t0, 1),
+               "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[tpu-smoke] recorded {path}", flush=True)
     if FAILED:
         print(f"[tpu-smoke] FAILED: {FAILED}", flush=True)
         return 1
