@@ -46,8 +46,8 @@ import os as _os
 _BX_ENV = _os.environ.get("MGTPU_PALLAS3D_BX", "")
 
 
-def bx_for(X: int) -> int:
-    """X-axis block rows per grid step for an X-plane field.
+def bx_for(X: int, Y: int | None = None, Z: int | None = None) -> int:
+    """X-axis block rows per grid step for an (X, Y, Z) field.
 
     Divisibility beats block size on this hardware: when BX divides X the
     per-call field pad and output slice copies disappear, measured r4 at
@@ -55,9 +55,22 @@ def bx_for(X: int) -> int:
     1.545 ms (BX=3, 43 exact steps) — ROADMAP 2c.  So pick the LARGEST
     divisor of X in 8..3 (fewer grid steps amortise per-step overhead),
     falling back to a padded BX=8 when X is prime-ish (no divisor >= 3).
+
+    Blocks much larger than 8 rows are a measured dead end at fine-grid
+    sizes: BX=43 at 129^3 needs 137 MB of VMEM in the double-apply kernel
+    (38 MB register spills + 11.4 MB double-buffered windows x7, r4) —
+    but when the WHOLE tile-padded field fits in ~3 MB (coarse levels),
+    a single grid step (bx = X) drops the per-step overhead that made
+    kernelized 65^3 lose to XLA fusion.  Callers that know Y/Z pass them;
+    X-only callers (row maps) get the same answer via the caller's bx.
     MGTPU_PALLAS3D_BX (import-time) forces one value for A/B runs."""
     if _BX_ENV:
         return int(_BX_ENV)
+    if Y is not None and Z is not None:
+        ypad = -(-Y // 8) * 8
+        zpad = -(-Z // 128) * 128
+        if X * ypad * zpad * 4 <= 3 * 2 ** 20:
+            return X
     for d in (8, 7, 6, 5, 4, 3):
         if X % d == 0:
             return d
@@ -118,7 +131,7 @@ def build_faces(coeff: np.ndarray, w: int):
     second apply reads the x-band-corrected smoother output one plane in.
     Single-apply kernels slice the inner w planes via `fx_narrow`."""
     X = coeff.shape[1]
-    bx = bx_for(X)
+    bx = bx_for(X, coeff.shape[2], coeff.shape[3])
     Xp = -(-X // bx) * bx
     fx = np.concatenate([coeff[:, :2 * w], coeff[:, -2 * w:]], axis=1)
     # x-SECOND layouts (see GENERAL above): fy (nd, X, 2w, Z),
@@ -414,11 +427,10 @@ def inkernel_xband() -> bool:
     return os.environ.get("MGTPU_PALLAS3D_XBAND", "") == "fold"
 
 
-def _xband_rows(X: int, w: int):
+def _xband_rows(X: int, w: int, bx: int):
     """Static (block, in-block row, fx_narrow slot) triples for the 2w
     x-band rows 0..w-1 and X-w..X-1 (the hi rows may straddle a block
     boundary when X % bx < w)."""
-    bx = bx_for(X)
     rows = list(range(w)) + list(range(X - w, X))
     return tuple((r // bx, r % bx, s) for s, r in enumerate(rows))
 
@@ -619,12 +631,12 @@ def _matvec_one(const, fx, fyq, fzq, x, offsets, w, interpret,
                 band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    bx = bx_for(X)
+    bx = bx_for(X, Y, Z)
     Xp = -(-X // bx) * bx
     xq = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0))) if Xp != X else x
     nb = Xp // bx
     fold = inkernel_xband()
-    xb = _xband_rows(X, w) if fold else None
+    xb = _xband_rows(X, w, bx) if fold else None
     bm = band_meta if use_bandv2(band_meta, fyq.shape[1] == 1) else None
     kern = functools.partial(_interior_kernel, offsets, w, nb, xb, bm)
     # NOTE: this toolchain's Mosaic cannot lower ANY pallas_call traced under

@@ -118,7 +118,7 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
                interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    bx = bx_for(X)
+    bx = bx_for(X, Y, Z)
     Xp = -(-X // bx) * bx
     padX = ((0, Xp - X), (0, 0), (0, 0))
     xq = jnp.pad(x, padX) if Xp != X else x
@@ -126,7 +126,7 @@ def _fused_one(const, fx, fyq, fzq, x, b, d, p, offsets, w, do_jac,
     nb = Xp // bx
     has_p = p is not None
     fold = inkernel_xband()
-    xb = _xband_rows(X, w) if fold else None
+    xb = _xband_rows(X, w, bx) if fold else None
     bm = band_meta if use_bandv2(band_meta, fyq.shape[1] == 1) else None
     kern = functools.partial(_fused_kernel, offsets, w, nb, do_jac, has_p,
                              xb, bm)
@@ -314,7 +314,7 @@ def _jacres_one(const, fx, fyq, fzq, fyq_t, fzq_t, x, b, d, offsets, w,
                 interpret, band_meta=None):
     X, Y, Z = x.shape
     nd = len(offsets)
-    bx = bx_for(X)
+    bx = bx_for(X, Y, Z)
     Xp = -(-X // bx) * bx
     padX = ((0, Xp - X), (0, 0), (0, 0))
     xq = jnp.pad(x, padX) if Xp != X else x

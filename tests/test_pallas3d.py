@@ -326,3 +326,42 @@ def test_compact_faces_match_general(small_kernels, monkeypatch):
     x2c, r2c = jacobi_residual3d(Ac, d, b, x, interpret=True)
     assert float(jnp.abs(x2c - x1g).max() / jnp.abs(x1g).max()) < 1e-5
     assert float(jnp.abs(r2c - r1g).max() / jnp.abs(r1g).max()) < 2e-5
+
+
+def test_bx_for_rule():
+    """Pin the auto-BX policy (const3d.bx_for): whole-field single step
+    when the tile-padded field fits ~3 MB of VMEM, else the largest
+    divisor of X in 8..3, else padded 8.  A silent rule change would
+    shift which schedule every other test exercises."""
+    assert c3.bx_for(19, 25, 31) == 19          # 19*32*128*4 = 311 KB
+    assert c3.bx_for(65, 65, 65) == 65          # 65*72*128*4 = 2.3 MB
+    assert c3.bx_for(80, 40, 129) == 8          # 3.3 MB padded -> divisor
+    assert c3.bx_for(129, 129, 129) == 3        # 18 MB -> divisor of 129
+    assert c3.bx_for(131, 129, 129) == 8        # prime -> padded fallback
+    assert c3.bx_for(129) == 3                  # X-only callers: divisor
+
+
+def test_multistep_path_exact(small_kernels):
+    """Exactness on a shape whose padded field EXCEEDS the single-step
+    VMEM bound — with bx_for's whole-field upgrade, every small-test
+    shape takes the one-step schedule, so this is the only interpret
+    coverage of the streamed multi-block path (halo planes, band stores
+    across block boundaries)."""
+    from mgtpu.ops.pallas.fused3d import jacobi_residual3d
+    L, A = _op(79)                  # grid (80, 80, 80): bx 8, 10 steps
+    assert c3.bx_for(*A.grid) == 8
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    b = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    d = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
+    os.environ["MGTPU_PALLAS3D"] = "off"     # XLA reference matvec
+    x1_ref = x + d * (b - A.matvec(x))
+    r1_ref = b - A.matvec(x1_ref)
+    os.environ["MGTPU_PALLAS3D"] = "interpret"
+    xf = np.asarray(x).reshape(-1, 1)
+    y = np.asarray(A.matvec(jnp.asarray(xf)), np.float64)
+    yref = L.astype(np.float64) @ xf.astype(np.float64)
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 2e-5
+    x1, r1 = jacobi_residual3d(A, d, b, x, interpret=True)
+    assert float(jnp.abs(x1 - x1_ref).max() / jnp.abs(x1_ref).max()) < 2e-5
+    assert float(jnp.abs(r1 - r1_ref).max() / jnp.abs(r1_ref).max()) < 1e-4
