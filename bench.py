@@ -446,8 +446,30 @@ def main():
             st3.hier, bg3, jnp.zeros_like(bg3), ks=(2, 22), reps=2)
         b3_64 = L3 @ rng.rand(L3.shape[0])
         b3_64 /= np.linalg.norm(b3_64)
-        _, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
+        xr3, rinfo3 = solve_mg_refined(st3, b3_64, tol=1e-8, max_iter=40)
         R["iters3_1e8"] = int(rinfo3["iters"])
+        R["true_rr3"] = float(np.linalg.norm(
+            b3_64 - L3.astype(np.float64) @ np.asarray(xr3, np.float64)))
+        # per-iteration cost of the SAME df32 refined loop (2D pattern:
+        # sec_refined) -> 3D time-to-TRUE-1e-8 = refined3_ms * iters3
+        from mgtpu.solvers.mg_solver import _df32_residual_op
+        from mgtpu.ops.df32 import df_residual, df_accumulate
+        dfA3 = _df32_residual_op(st3)
+        b3_lo = jnp.asarray(
+            (np.asarray(bg3, np.float64)
+             - np.asarray(bg3, np.float64).astype(np.float32))
+            .astype(np.float32))
+
+        def refined3_iter(h, bb, carry):
+            xh, xl, rh = carry
+            z = grid_cycle(cfg3, h, rh, jnp.zeros_like(rh))
+            xh, xl = df_accumulate(xh, xl, z)
+            rh, _ = df_residual(dfA3, bb, b3_lo, xh, xl)
+            return (xh, xl, rh)
+
+        z03 = jnp.zeros_like(bg3)
+        R["refined3_ms"] = _chain_timer(refined3_iter, st3.hier, bg3,
+                                        (z03, z03, bg3), ks=(2, 12), reps=2)
         # 3D fine-level SpMV throughput (the one-pass Pallas kernel); the
         # rescale keeps the chained iterates finite (||A|| ~ 1e5 here)
         sc3 = np.float32(1.0 / abs(L3).sum(axis=0).max())
@@ -522,10 +544,13 @@ def main():
                                           nu_post=1, dtype=dtype)
                 st_l = mg_setup(Al, Ml, cfg_l, rpv)
                 blg = flat_to_grid(jnp.asarray(bl), st_l.hier.fine_grid)
+                # long chains: these cycles sit near the ~30 us measurement
+                # floor — a 10-iteration delta returns contention noise
+                # (negative slopes, r4 bench_line run)
                 out[tag] = round(_chain_timer(
                     lambda h, bb, xx: grid_cycle(cfg_l, h, bb, xx),
                     st_l.hier, blg, jnp.zeros_like(blg),
-                    ks=(2, 12), reps=2), 4)
+                    ks=(4, 104), reps=2), 4)
             except Exception:                      # noqa: BLE001
                 out[tag] = None
         _os.environ.pop("MGTPU_LINE_SCAN", None)
@@ -711,6 +736,13 @@ def main():
             "poisson3d_matvec_ms": r(g("mv3_ms")),
             "poisson3d_gnnz_per_s": r(g("gnnz3"), 2),
             "poisson3d_iters_to_1e-8": g("iters3_1e8"),
+            "poisson3d_refined_iter_ms": r(g("refined3_ms")),
+            "poisson3d_time_to_1e-8_ms":
+                (None if g("refined3_ms") is None or g("iters3_1e8") is None
+                 else round(R["refined3_ms"] * R["iters3_1e8"], 3)),
+            "poisson3d_true_relres_f64":
+                (None if g("true_rr3") is None
+                 else float(f"{R['true_rr3']:.3e}")),
             "vcycle_8rhs_ms_per_rhs": r(None if g("m8_ms") is None
                                         else R["m8_ms"] / 8),
             "kcycle_512_sa_cycle_ms": r(g("kcycle_ms")),

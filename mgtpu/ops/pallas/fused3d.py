@@ -199,22 +199,30 @@ def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
     smoothed iterate — all taps in VMEM.
 
     Stage A writes band-corrected A x for planes [iB-1, iB+B] into the
-    (B+2)-plane scratch `ax_ref` (interior via the usual roll/halo scheme,
-    the two halo planes via their own single-plane tap loops with their own
-    face slabs), forms x' = x + d (b - Ax) in `x1s_ref`, and emits the
-    block interior.  Stage B re-applies A to x' (halo planes now sitting in
-    scratch) and emits r' = b - A x'.  Out-of-domain halos are masked to
-    zero; planes whose TRUE row taps differ from the const+band model (the
-    first/last 2w planes of the domain) are fixed outside by
-    const3d._apply_xband on exact row coefficients.
+    (B+2)-plane scratch `ax_ref`, forms x' = x + d (b - Ax) in `x1s_ref`,
+    and emits the block interior.  Stage B re-applies A to x' (halo
+    planes now sitting in scratch) and emits r' = b - A x'.
+    Out-of-domain halos are masked to zero; planes whose TRUE row taps
+    differ from the const+band model (the first/last 2w planes of the
+    domain) are fixed outside by const3d._apply_xband on exact row
+    coefficients.
 
     COMPACT faces (x-invariant band coefficients, const3d.build_faces):
-    the one VMEM-resident fy/fz row serves the main block AND both halo
-    planes by broadcast, so the x-leading transposed halo slabs (fym/fyp/
-    fzm/fzp) disappear.  Stage-A values at x-band halo planes are then
-    inexact, but every stage-B row they reach lies inside the
+    the one VMEM-resident fy/fz row serves ANY row count by broadcast, so
+    (a) the x-leading transposed halo slabs (fym/fyp/fzm/fzp) disappear,
+    and (b) stage A is ONE (B+2)-row accumulation over the already-loaded
+    xm2/xp2 planes (r4) — two fewer tap-loop instances per grid step than
+    the general path's main-block + two single-plane halo accums, and
+    taller (n*Y, Z) operands for the v2 tridiagonal MXU matmuls; it is
+    also bitwise-consistent with the single-apply kernels (pinned in
+    tests).  Stage-A values at x-band halo planes are inexact under the
+    broadcast row, but every stage-B row they reach lies inside the
     first/last-2w exact-row fix — the same coverage the general path
-    already requires."""
+    already requires.
+
+    GENERAL faces: main block via the roll/halo scheme, the two halo
+    planes via their own single-plane tap loops with their own face
+    slabs."""
     if bmeta is not None:              # v2 additive z-band schedule
         zint_ref, tz_ref, *rest = rest
     else:
@@ -242,13 +250,14 @@ def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
     dm = jnp.where(m_ok, dm_ref[:], zp)
     dp = jnp.where(p_ok, dp_ref[:], zp)
 
-    planes = {
-        -1: jnp.concatenate([xm1, cur[:-1]], axis=0),
-        0: cur,
-        1: jnp.concatenate([cur[1:], xp1], axis=0),
-    }
-    lo = {-1: xm2, 0: xm1, 1: cur[:1]}                  # taps for plane iB-1
-    hi = {-1: cur[B - 1:], 0: xp1, 1: xp2}              # taps for plane iB+B
+    if not compact:
+        planes = {
+            -1: jnp.concatenate([xm1, cur[:-1]], axis=0),
+            0: cur,
+            1: jnp.concatenate([cur[1:], xp1], axis=0),
+        }
+        lo = {-1: xm2, 0: xm1, 1: cur[:1]}              # taps for plane iB-1
+        hi = {-1: cur[B - 1:], 0: xp1, 1: xp2}          # taps for plane iB+B
 
     def _accum(planes_of, ytap, ztap, n):
         # ytap(k) -> (ylo_c, yhi_c) each (n, w, Z); ztap(k) -> (zlo_c,
@@ -279,20 +288,31 @@ def _jacres_kernel(offsets, w, nb, compact, bmeta, c_ref, fy_ref,
         # static slice bounds only — Mosaic lowers static partial stores
         store_banded(ref, a, b2, parts, w, Y, Z)
 
+    # stage A: band-corrected A x on planes [iB-1, iB+B]
     if compact:
-        # the one broadcast row serves main block and both halo planes
-        hy_m = hy_p = _tap_main_y(fy_ref)
-        hz_m = hz_p = _tap_main_z(fz_ref)
+        # the one broadcast face row serves ANY row count, so the main
+        # block and both halo planes merge into ONE (B+2)-row
+        # accumulation over the already-loaded xm2/xp2 planes — two fewer
+        # tap-loop instances per grid step (at bx=3 the two single-plane
+        # halo accums were 2/3 of the stage-A tap work) and a taller
+        # (n*Y, Z) operand for the tridiagonal MXU matmuls
+        ext = {
+            -1: jnp.concatenate([xm2, xm1, cur], axis=0),
+            0: jnp.concatenate([xm1, cur, xp1], axis=0),
+            1: jnp.concatenate([cur, xp1, xp2], axis=0),
+        }
+        _store(ax_ref, 0, B + 2,
+               _accum(lambda dx: ext[dx],
+                      _tap_main_y(fy_ref), _tap_main_z(fz_ref), B + 2))
     else:
         hy_m, hy_p = _tap_halo_y(fym_ref), _tap_halo_y(fyp_ref)
         hz_m, hz_p = _tap_halo_z(fzm_ref), _tap_halo_z(fzp_ref)
-
-    # stage A: band-corrected A x on planes [iB-1, iB+B]
-    _store(ax_ref, 1, B + 1,
-           _accum(lambda dx: planes[dx],
-                  _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
-    _store(ax_ref, 0, 1, _accum(lambda dx: lo[dx], hy_m, hz_m, 1))
-    _store(ax_ref, B + 1, B + 2, _accum(lambda dx: hi[dx], hy_p, hz_p, 1))
+        _store(ax_ref, 1, B + 1,
+               _accum(lambda dx: planes[dx],
+                      _tap_main_y(fy_ref), _tap_main_z(fz_ref), B))
+        _store(ax_ref, 0, 1, _accum(lambda dx: lo[dx], hy_m, hz_m, 1))
+        _store(ax_ref, B + 1, B + 2,
+               _accum(lambda dx: hi[dx], hy_p, hz_p, 1))
     xe = jnp.concatenate([xm1, cur, xp1], axis=0)       # (B+2, Y, Z)
     be = jnp.concatenate([bm, b_ref[:], bp], axis=0)
     de = jnp.concatenate([dm, d_ref[:], dp], axis=0)

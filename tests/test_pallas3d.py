@@ -312,10 +312,19 @@ def test_compact_faces_match_general(small_kernels, monkeypatch):
     assert float(jnp.abs(jacobi_corr3d(Ac, d, b, x, p, interpret=True)
                          - jacobi_corr3d(Ag, d, b, x, p,
                                          interpret=True)).max()) == 0.0
+    # jacres: the compact path merges main block + halo planes into ONE
+    # (B+2)-row stage-A accumulation (r4) while the general path keeps
+    # three accums — different (equally valid) f32 association, so the
+    # cross-form check is tight-relative, and the compact form instead
+    # pins the STRONGER property: its stage A is bitwise the single-apply
+    # jacobi kernel
+    from mgtpu.ops.pallas.fused3d import jacobi3d
     x1c, r1c = jacobi_residual3d(Ac, d, b, x, interpret=True)
     x1g, r1g = jacobi_residual3d(Ag, d, b, x, interpret=True)
-    assert float(jnp.abs(x1c - x1g).max()) == 0.0
-    assert float(jnp.abs(r1c - r1g).max()) == 0.0
+    assert float(jnp.abs(x1c - jacobi3d(Ac, d, b, x, interpret=True))
+                 .max()) == 0.0
+    assert float(jnp.abs(x1c - x1g).max() / jnp.abs(x1g).max()) < 1e-6
+    assert float(jnp.abs(r1c - r1g).max() / jnp.abs(r1g).max()) < 2e-5
     # v2 (additive z-bands + boundary-column tridiag matmuls) vs v1:
     # same values to f32 rounding of the operator scale
     monkeypatch.delenv("MGTPU_PALLAS3D_BANDV2")

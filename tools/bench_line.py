@@ -61,8 +61,12 @@ def main():
                                 nu_pre=1, nu_post=1, dtype=np.float32)
         st = mg_setup(A, M, cfg, rpv)
         bg = flat_to_grid(jnp.asarray(b), st.hier.fine_grid)
+        # long chains: these cycles sit near the rig's ~30 us measurement
+        # floor — the default 20-iteration delta returned NEGATIVE slopes
+        # (r4 run), i.e. pure contention noise
         ms = _chain_timer(lambda h, bb, xx: grid_cycle(cfg, h, bb, xx),
-                          st.hier, bg, jnp.zeros_like(bg))
+                          st.hier, bg, jnp.zeros_like(bg), ks=(4, 104),
+                          reps=3)
         tag = f"{rt}[{mode or 'doubling'}]" if rt == "line-jacobi" else rt
         print(f"{tag:24s}: {ms:.3f} ms/cycle (257^2 V(1,1))")
 
@@ -77,7 +81,7 @@ def main():
         else:
             os.environ.pop("MGTPU_LINE_SCAN", None)
         ms = _chain_timer(lambda lrr, bb, xx: xx + line_solve(lrr, bb),
-                          lr, rg, jnp.zeros_like(rg))
+                          lr, rg, jnp.zeros_like(rg), ks=(4, 104), reps=3)
         print(f"line_solve[{mode or 'doubling'}]".ljust(24)
               + f": {ms:.3f} ms/apply (fine level)")
 
