@@ -225,12 +225,22 @@ def _scan_linear(alpha, beta, axis, reverse=False):
 
 
 def _line_mode() -> str:
-    """MGTPU_LINE_SCAN: '' (XLA doubling, default) | 'assoc'
-    (associative_scan, A/B baseline) | 'pallas' / 'pallas-interpret'
-    (ops/pallas/tridiag.py one-pass kernels, f32 grids only).
-    Read at trace time — new processes only, not a runtime knob."""
+    """MGTPU_LINE_SCAN: 'auto' (default) | 'doubling' / '' (XLA doubling
+    scan) | 'assoc' (associative_scan, A/B baseline) | 'pallas' /
+    'pallas-interpret' (ops/pallas/tridiag.py one-pass kernels, f32 grids
+    only).  'auto' resolves to the Pallas kernel on TPU backends —
+    measured r4 (long-chain, healthy probe 0.011): 257^2 line-Jacobi
+    cycle 0.020 ms/cycle vs 0.029 doubling vs 0.048 assoc (point Jacobi
+    0.018) — and to the doubling scan elsewhere (the kernel interprets
+    ~100x slower on CPU).  Read at trace time — new processes only, not
+    a runtime knob."""
     import os
-    return os.environ.get("MGTPU_LINE_SCAN", "")
+    mode = os.environ.get("MGTPU_LINE_SCAN", "auto")
+    if mode == "auto":
+        import jax as _jax
+        return ("pallas" if _jax.default_backend() not in ("cpu", "gpu")
+                else "")
+    return "" if mode == "doubling" else mode
 
 
 def line_solve(lr: LineRelax, r):

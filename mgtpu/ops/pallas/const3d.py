@@ -59,17 +59,21 @@ def bx_for(X: int, Y: int | None = None, Z: int | None = None) -> int:
     Blocks much larger than 8 rows are a measured dead end at fine-grid
     sizes: BX=43 at 129^3 needs 137 MB of VMEM in the double-apply kernel
     (38 MB register spills + 11.4 MB double-buffered windows x7, r4) —
-    but when the WHOLE tile-padded field fits in ~3 MB (coarse levels),
-    a single grid step (bx = X) drops the per-step overhead that made
-    kernelized 65^3 lose to XLA fusion.  Callers that know Y/Z pass them;
-    X-only callers (row maps) get the same answer via the caller's bx.
-    MGTPU_PALLAS3D_BX (import-time) forces one value for A/B runs."""
+    but when the WHOLE tile-padded field is small (deep-coarse levels),
+    a single grid step (bx = X) drops the per-step overhead.  The
+    single-step ceiling is 1 MB, a COMPILE bound rather than a VMEM one:
+    65^3 single-step (2.4 MB) blows Mosaic's compile time past 20 MINUTES
+    on this toolchain (three r4 probe legs all timed out in compile),
+    while the ~1 MB smoke shapes compile in normal time.  Callers that
+    know Y/Z pass them; X-only callers (row maps) get the same answer
+    via the caller's bx.  MGTPU_PALLAS3D_BX (import-time) forces one
+    value for A/B runs."""
     if _BX_ENV:
         return int(_BX_ENV)
     if Y is not None and Z is not None:
         ypad = -(-Y // 8) * 8
         zpad = -(-Z // 128) * 128
-        if X * ypad * zpad * 4 <= 3 * 2 ** 20:
+        if X * ypad * zpad * 4 <= 2 ** 20:
             return X
     for d in (8, 7, 6, 5, 4, 3):
         if X % d == 0:

@@ -20,9 +20,12 @@ consumers (ROADMAP item 3: composed 257^2 line-Jacobi cycle 0.59 ms vs
     x + omega * sol into the backward pass, so one line correction costs
     exactly 8 field passes of HBM traffic.
 
-Opt-in via MGTPU_LINE_SCAN=pallas (see cycle/relax.py::line_solve) until the
-crossover vs the fused XLA doubling form is measured on hardware; f32 only
-(Mosaic x64 limitation, see const3d.py).
+DEFAULT for f32 lines on TPU backends since r4 (cycle/relax.py::_line_mode
+'auto'): the long-chain on-chip A/B measured the composed 257^2 line-Jacobi
+cycle at 0.020 ms/cycle with these kernels vs 0.029 doubling-scan and 0.048
+associative_scan (point Jacobi 0.018; healthy probe 0.011) — i.e. line
+smoothing is within ~10% of pointwise cost.  MGTPU_LINE_SCAN=doubling/assoc
+restores the XLA forms; f32 only (Mosaic x64 limitation, see const3d.py).
 
 The reference has no line smoothers at all (point Jacobi/SPAI, Vanka, and
 Kaczmarz only — /root/reference/src/Multigrid/MGsetup.jl:142-160); pivots are

@@ -343,7 +343,8 @@ def test_bx_for_rule():
     divisor of X in 8..3, else padded 8.  A silent rule change would
     shift which schedule every other test exercises."""
     assert c3.bx_for(19, 25, 31) == 19          # 19*32*128*4 = 311 KB
-    assert c3.bx_for(65, 65, 65) == 65          # 65*72*128*4 = 2.3 MB
+    assert c3.bx_for(33, 33, 33) == 33          # 33*40*128*4 = 675 KB
+    assert c3.bx_for(65, 65, 65) == 5           # 2.3 MB > compile bound
     assert c3.bx_for(80, 40, 129) == 8          # 3.3 MB padded -> divisor
     assert c3.bx_for(129, 129, 129) == 3        # 18 MB -> divisor of 129
     assert c3.bx_for(131, 129, 129) == 8        # prime -> padded fallback
