@@ -75,6 +75,13 @@ def bx_for(X: int, Y: int | None = None, Z: int | None = None) -> int:
         zpad = -(-Z // 128) * 128
         if X * ypad * zpad * 4 <= 2 ** 20:
             return X
+        # mid-size divisors (9..16) when the block stays under 1 MB
+        # (same compile bound): fewer grid steps on small/coarse levels
+        # — 65 -> 13 (5 steps), 33 -> 11 (3) — while fine grids reject
+        # them on block bytes (129^2 minor dims: 2.2 MB at d=16)
+        for d in range(16, 8, -1):
+            if X % d == 0 and d * ypad * zpad * 4 <= 2 ** 20:
+                return d
     for d in (8, 7, 6, 5, 4, 3):
         if X % d == 0:
             return d

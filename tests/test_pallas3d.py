@@ -344,9 +344,10 @@ def test_bx_for_rule():
     shift which schedule every other test exercises."""
     assert c3.bx_for(19, 25, 31) == 19          # 19*32*128*4 = 311 KB
     assert c3.bx_for(33, 33, 33) == 33          # 33*40*128*4 = 675 KB
-    assert c3.bx_for(65, 65, 65) == 5           # 2.3 MB > compile bound
-    assert c3.bx_for(80, 40, 129) == 8          # 3.3 MB padded -> divisor
-    assert c3.bx_for(129, 129, 129) == 3        # 18 MB -> divisor of 129
+    assert c3.bx_for(65, 65, 65) == 13          # 2.3 MB whole-field >
+    #   compile bound; 13*72*128*4 = 479 KB mid-size divisor block fits
+    assert c3.bx_for(80, 40, 129) == 16         # 16*40*256*4 = 655 KB
+    assert c3.bx_for(129, 129, 129) == 3        # no 9..16 divisor
     assert c3.bx_for(131, 129, 129) == 8        # prime -> padded fallback
     assert c3.bx_for(129) == 3                  # X-only callers: divisor
 
@@ -358,8 +359,8 @@ def test_multistep_path_exact(small_kernels):
     coverage of the streamed multi-block path (halo planes, band stores
     across block boundaries)."""
     from mgtpu.ops.pallas.fused3d import jacobi_residual3d
-    L, A = _op(79)                  # grid (80, 80, 80): bx 8, 10 steps
-    assert c3.bx_for(*A.grid) == 8
+    L, A = _op(79)                  # grid (80, 80, 80): bx 16, 5 steps
+    assert c3.bx_for(*A.grid) == 16
     rng = np.random.RandomState(11)
     x = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
     b = jnp.asarray(rng.rand(*A.grid).astype(np.float32))
