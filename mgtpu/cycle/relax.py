@@ -105,12 +105,21 @@ def relax_diag(matvec, r, x, b, d, num_it: int):
     return x + dcol * r
 
 
-def fgmres_relaxation(matvec, prec, r0, x0, inner: int):
+def fgmres_relaxation(matvec, prec, r0, x0, inner: int,
+                      axis_name: str | None = None):
     """Minimal-residual correction over the preconditioned Krylov subspace.
 
     Returns x0 + Z t where t = argmin ||r0 - (A Z) t||_2 over the flattened
     n*m block system.  `prec` is applied to r0 first, then to each successive
     A z (reference FGMRES.jl:82-95).
+
+    `axis_name`: when the operands are PARTITIONED row blocks inside a
+    shard_map region (parallel/part_amg.py), the Gram matrix G = (AZ)^H AZ
+    and projection RHS c = (AZ)^H r0 are per-device partial sums; a psum
+    over the mesh axis restores the global inner products, so every device
+    solves the identical (inner x inner) projection and the correction
+    matches the single-chip algebra to reduction-order rounding.  Padded
+    rows contribute exact zeros (zero matrix rows, zero RHS).
     """
     # operands may be plain arrays or pytrees of per-component fields (the
     # systems engine's block fields); ravel_pytree makes the Krylov algebra
@@ -128,6 +137,9 @@ def fgmres_relaxation(matvec, prec, r0, x0, inner: int):
     AZ = jnp.stack(azs, axis=1)    # (n*m, inner)
     G = AZ.conj().T @ AZ           # (inner, inner) normal equations
     c = AZ.conj().T @ r0f
+    if axis_name is not None:      # partitioned rows: globalise the Gram
+        G = jax.lax.psum(G, axis_name)
+        c = jax.lax.psum(c, axis_name)
     # Tikhonov-regularised Hermitian solve instead of pinv: numerically
     # equivalent for this PSD Gram system (the regularisation damps exactly
     # the directions pinv's rtol would truncate), and — unlike the SVD

@@ -33,13 +33,18 @@ just implements `matvec` with the halo exchange inlined — so iterates
 match the single-chip flat engine to reduction-order rounding and
 iteration counts are identical (pinned by tests/test_part_amg.py).
 
-Smoothers: pointwise (jacobi/SPAI) and Chebyshev (degree-k, NO runtime dot
-products — reduction-free inside shard_map).  Jac-GMRES/K-cycle smoothing
-computes inner products that would need psum-aware projections; route
-those through ShardedAMGSolver until a psum-aware FGMRES lands.
+Smoothers: pointwise (jacobi/SPAI), Chebyshev (degree-k, NO runtime dot
+products), and Jac-GMRES — whose FGMRES projection psums its Gram inner
+products over the mesh axis (cycle/relax.py::fgmres_relaxation axis_name,
+threaded through MGConfig.axis_name), so K-cycles and Krylov smoothing run
+fully partitioned with single-chip iteration parity (the reference's
+distributed tier hands each worker an arbitrary inner solver,
+DDParallel.jl:29-63, and its K-cycle machinery has no serial assumption,
+MGcycle.jl:72-76 + FGMRES.jl:40-126).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 
@@ -51,7 +56,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cycle.cycle import recursive_cycle
-from ..cycle.coarse import DenseLU
+from ..cycle.coarse import DenseLU, SparseLUCoarse
 from ..cycle.relax import DiagRelax, ChebyshevRelax
 from ..ops.df32 import df_accumulate, df_residual_ell, DFEll
 from ..ops.ell import ELL, ell_matvec, ell_arrays_from_scipy
@@ -126,6 +131,34 @@ class PartDenseLU:
     def solve(self, b_loc):
         bf = jax.lax.all_gather(b_loc, self.axis, axis=0, tiled=True)
         x = DenseLU(self.lu, self.piv).solve(bf[:self.nc])
+        x = jnp.pad(x, ((0, self.ndev * self.p - self.nc), (0, 0)))
+        s = jax.lax.axis_index(self.axis)
+        return jax.lax.dynamic_slice_in_dim(x, s * self.p, self.p, axis=0)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=[],
+                   meta_fields=["factor", "nc", "p", "ndev", "axis"])
+@dataclass(frozen=True)
+class PartSparseLU:
+    """Replicated host-SuperLU coarsest solve on partitioned vectors:
+    all-gather the coarse RHS, one `pure_callback` into the host factor
+    (cycle/coarse.py::SparseLUCoarse design point), keep the local slice."""
+    factor: object          # scipy.sparse.linalg.SuperLU (f64/c128)
+    nc: int
+    p: int
+    ndev: int
+    axis: str
+
+    def solve(self, b_loc):
+        bf = jax.lax.all_gather(b_loc, self.axis, axis=0, tiled=True)
+        b = bf[:self.nc]
+
+        def cb(bh):
+            out = self.factor.solve(np.asarray(bh, self.factor.U.dtype))
+            return out.astype(bh.dtype)
+        x = jax.pure_callback(cb, jax.ShapeDtypeStruct(b.shape, b.dtype), b,
+                              vmap_method="sequential")
         x = jnp.pad(x, ((0, self.ndev * self.p - self.nc), (0, 0)))
         s = jax.lax.axis_index(self.axis)
         return jax.lax.dynamic_slice_in_dim(x, s * self.p, self.p, axis=0)
@@ -216,20 +249,20 @@ class PartitionedAMGSolver:
             raise ValueError("state uses the structured grid engine — use "
                              "ShardedGridSolver (parallel/sharded_solve.py)")
         if cfg.relax_type not in ("jacobi", "spai", "chebyshev",
-                                  "chebyshev4"):
+                                  "chebyshev4", "jac-gmres"):
             raise ValueError(
-                "partitioned AMG supports reduction-free smoothers "
-                "(jacobi/spai/chebyshev); jac-gmres and K-cycles need "
-                "psum-aware projections — use ShardedAMGSolver")
-        if cfg.cycle_type == "K":
-            raise ValueError(
-                "K-cycles run FGMRES projections (inner products) inside "
-                "the cycle — use ShardedAMGSolver for K-cycles")
+                "partitioned AMG supports pointwise smoothers "
+                "(jacobi/spai/chebyshev/jac-gmres); Vanka/Kaczmarz states "
+                "are not partitioned — use ShardedAMGSolver")
         if np.dtype(cfg.dtype) != np.float32:
             raise ValueError("partitioned AMG refinement assumes a float32 "
                              "hierarchy (df32 residual certifies ~1e-13)")
         self.state = state
         self.cfg = cfg
+        # the cycle traced inside shard_map needs psum-aware FGMRES
+        # projections (jac-gmres smoothing, K-cycles): axis_name tells
+        # fgmres_relaxation to globalise its Gram inner products
+        cyc_cfg = dataclasses.replace(cfg, axis_name=axis)
         self.mesh = mesh
         self.axis = axis
         ndev = mesh.shape[axis]
@@ -279,16 +312,23 @@ class PartitionedAMGSolver:
             levels.append(Level(A_op, P_op, R_op, relax))
 
         coarse = state.hier.coarse
-        if not isinstance(coarse, DenseLU):
-            raise ValueError(
-                f"partitioned AMG keeps the coarsest replicated via dense "
-                f"LU; got {type(coarse).__name__} (shrink the hierarchy or "
-                "use ShardedAMGSolver)")
         nc = state.As[-1].shape[0]
         self.levels = tuple(levels)
-        self.coarse = PartDenseLU(put(coarse.lu, repl),
-                                  put(coarse.piv, repl),
-                                  nc, self.p[-1], ndev, axis)
+        if isinstance(coarse, DenseLU):
+            self.coarse = PartDenseLU(put(coarse.lu, repl),
+                                      put(coarse.piv, repl),
+                                      nc, self.p[-1], ndev, axis)
+        elif isinstance(coarse, SparseLUCoarse):
+            # host-SuperLU escape hatch for coarsest levels beyond the
+            # replicated-dense budget (reference: UMFPACK factors ANY
+            # coarsest size, MGsetup.jl:350) — gather the small coarse RHS,
+            # one pure_callback to the host factor, keep the local slice
+            self.coarse = PartSparseLU(coarse.factor, nc, self.p[-1],
+                                       ndev, axis)
+        else:
+            raise ValueError(
+                f"partitioned AMG keeps the coarsest replicated (dense LU "
+                f"or host SuperLU); got {type(coarse).__name__}")
 
         # df32 fine operator for certified refinement: same plan machinery,
         # hi/lo split on HOST f64 values (jnp.asarray without x64 would
@@ -310,19 +350,20 @@ class PartitionedAMGSolver:
         def cycle_body(levels_dev, coarse_, b, x):
             levels_loc = jax.tree_util.tree_map(lambda a: a[0], levels_dev)
             hier = Hierarchy(levels_loc, coarse_)
-            return recursive_cycle(cfg, hier, b, x)
+            return recursive_cycle(cyc_cfg, hier, b, x)
 
         self._cycle_sm = jax.jit(shard_map(
             cycle_body, mesh=mesh,
             in_specs=(P(axis), P(), P(axis), P(axis)),
             out_specs=P(axis), check_vma=False))
+        self.cyc_cfg = cyc_cfg
         self._refined_cache = {}
 
     def _build_refined(self, max_iter: int):
         """Jitted sharded refinement program for one (static) max_iter."""
         if max_iter in self._refined_cache:
             return self._refined_cache[max_iter]
-        cfg, mesh, axis, ndev = self.cfg, self.mesh, self.axis, self.ndev
+        cfg, mesh, axis, ndev = self.cyc_cfg, self.mesh, self.axis, self.ndev
         ddists = self._df_dists
 
         def refined_body(levels_dev, coarse_, df_dev, b_hi, b_lo, xh, xl,
@@ -356,7 +397,8 @@ class PartitionedAMGSolver:
 
             def body(carry):
                 xh_, xl_, rh, it, res, rv = carry
-                z = recursive_cycle(cfg, hier, rh, jnp.zeros_like(rh))
+                z = recursive_cycle(cfg, hier, rh, jnp.zeros_like(rh),
+                                    x_zero=True)
                 xh_, xl_ = df_accumulate(xh_, xl_, z)
                 rh, _ = df_res(xh_, xl_)
                 res = norm(rh)

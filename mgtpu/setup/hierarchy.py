@@ -96,6 +96,12 @@ class MGConfig:
     engine: str = "auto"             # "auto" | "grid" | "flat"
     cheby_degree: int = 3            # polynomial degree per chebyshev sweep
     cheby_frac: float = 0.25         # smoothing interval [frac*lam, lam]
+    # mesh-axis name for cycles traced INSIDE a shard_map region with
+    # PARTITIONED iterates: FGMRES projections (jac-gmres smoothing,
+    # K-cycles) psum their Gram inner products over this axis so every
+    # device solves the same global projection (parallel/part_amg.py sets
+    # it; None = single-device/replicated semantics, the default)
+    axis_name: str | None = None
 
     @property
     def mixed(self) -> bool:
