@@ -32,7 +32,8 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
     rt = cfg.relax_type
     if rt == "jac-gmres":
         d = level.relax.d[:, None]
-        return fgmres_relaxation(matvec, lambda v: d * v, r, x, nu)
+        return fgmres_relaxation(matvec, lambda v: d * v, r, x, nu,
+                                 axis_name=cfg.axis_name)
     if rt == "chebyshev":
         return chebyshev_smooth(matvec, level.relax.d[:, None],
                                 level.relax.lam_max, cfg.cheby_degree * nu,
@@ -52,12 +53,18 @@ def _smooth(cfg: MGConfig, level, r, x, b, nu: int, matvec):
 
 
 def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
-                    ctype: str | None = None):
-    """One multigrid cycle at `level`; b, x are (n, nrhs) device arrays."""
+                    ctype: str | None = None, x_zero: bool = False):
+    """One multigrid cycle at `level`; b, x are (n, nrhs) device arrays.
+
+    `x_zero` (static) declares the incoming iterate exactly zero (every
+    coarse-level entry, and the refined drivers' correction cycles): the
+    entry residual is b itself and the r = b - A*0 matvec is skipped —
+    one matvec (and, in the partitioned tier, its halo exchange) saved per
+    level per cycle, bitwise-identical results."""
     from .grid_cycle import GridHierarchy, grid_cycle_flat
     if isinstance(hier, GridHierarchy):
         # structured zero-gather engine; (n, m) <-> (m, *grid) at the boundary
-        return grid_cycle_flat(cfg, hier, b, x, ctype)
+        return grid_cycle_flat(cfg, hier, b, x, ctype, x_zero=x_zero)
     from .systems_grid import SystemsGridHierarchy, systems_grid_cycle_flat
     if isinstance(hier, SystemsGridHierarchy):
         return systems_grid_cycle_flat(cfg, hier, b, x, ctype)
@@ -70,10 +77,10 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
     lvl = hier.levels[level]
     matvec = lvl.A.matvec
     with jax.named_scope(f"mg_level{level}"):
-        r = b - matvec(x)
+        r = b if x_zero else b - matvec(x)
         x = _smooth(cfg, lvl, r, x, b, cfg.nu_pre[level], matvec)
 
-        r = b - matvec(x)
+        r = b - matvec(x) if cfg.nu_pre[level] > 0 or not x_zero else b
         bc = lvl.R.matvec(r)
         xc0 = jnp.zeros((lvl.R.shape[0], b.shape[1]), dtype=b.dtype)
         if level == nlev - 2:
@@ -83,10 +90,12 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
             # Krylov cycle: 2-step FGMRES preconditioned by the coarser cycle
             coarse_mv = hier.levels[level + 1].A.matvec
             prec = lambda v: recursive_cycle(cfg, hier, v, jnp.zeros_like(v),
-                                             level + 1, "K")
-            xc = fgmres_relaxation(coarse_mv, prec, bc, xc0, cfg.kcycle_inner)
+                                             level + 1, "K", x_zero=True)
+            xc = fgmres_relaxation(coarse_mv, prec, bc, xc0, cfg.kcycle_inner,
+                                   axis_name=cfg.axis_name)
         else:
-            xc = recursive_cycle(cfg, hier, bc, xc0, level + 1, ctype)
+            xc = recursive_cycle(cfg, hier, bc, xc0, level + 1, ctype,
+                                 x_zero=True)
             if ctype == "W":
                 xc = recursive_cycle(cfg, hier, bc, xc, level + 1, "W")
             elif ctype == "F":
@@ -99,9 +108,9 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
     return x
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def cycle_jit(cfg: MGConfig, hier: Hierarchy, b, x):
-    return recursive_cycle(cfg, hier, b, x)
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def cycle_jit(cfg: MGConfig, hier: Hierarchy, b, x, x_zero: bool = False):
+    return recursive_cycle(cfg, hier, b, x, x_zero=x_zero)
 
 
 def make_cycle_fn(cfg: MGConfig):

@@ -244,7 +244,8 @@ def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
     if nu <= 0:
         return x
     if cfg.relax_type == "jac-gmres":
-        return fgmres_relaxation(lvl.A.matvec, lambda v: lvl.d * v, r, x, nu)
+        return fgmres_relaxation(lvl.A.matvec, lambda v: lvl.d * v, r, x, nu,
+                                 axis_name=cfg.axis_name)
     if cfg.relax_type == "chebyshev":
         from .relax import chebyshev_smooth
         return chebyshev_smooth(lvl.A.matvec, lvl.d, lvl.lam,
@@ -265,8 +266,15 @@ def _grid_smooth(cfg, lvl: GridLevel, r, x, b, nu: int):
 
 
 def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
-               ctype: str | None = None):
-    """One multigrid cycle on grid fields b, x of shape (m, *grid_level)."""
+               ctype: str | None = None, x_zero: bool = False):
+    """One multigrid cycle on grid fields b, x of shape (m, *grid_level).
+
+    `x_zero` (static) declares the incoming iterate to be exactly zero —
+    true for EVERY coarse-level entry inside a cycle and for the correction
+    cycles of the refined drivers.  The entry residual is then b itself, so
+    the r = b - A*0 matvec is skipped (XLA cannot fold A@0: the stencil
+    coefficients are runtime arrays).  One matvec saved per level per
+    cycle; bitwise-identical results (A@0 is exact zeros)."""
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(gh.levels)
     if level == nlev - 1:
@@ -283,17 +291,27 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
             # inside one kernel pass; the LAST pre-smooth sweep and the
             # restrict-feed residual share a single double-apply pass
             # (ops/pallas/fused3d.py)
-            for _ in range(cfg.nu_pre[level] - 1):
-                x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
-            if cfg.nu_pre[level] > 0:
+            nu = cfg.nu_pre[level]
+            if x_zero and nu >= 1:
+                # first sweep off a zero iterate is elementwise (x1 = d*b);
+                # the double-apply collapses to a single apply
+                x = lvl.d * b
+                nu -= 1
+                if nu == 0:
+                    r = f3k.residual3d(lvl.A, b, x, interpret=f3)
+            if nu >= 1:
+                for _ in range(nu - 1):
+                    x = f3k.jacobi3d(lvl.A, lvl.d, b, x, interpret=f3)
                 x, r = f3k.jacobi_residual3d(lvl.A, lvl.d, b, x,
                                              interpret=f3)
-            else:
+            elif not x_zero:
                 r = f3k.residual3d(lvl.A, b, x, interpret=f3)
+            elif cfg.nu_pre[level] == 0:
+                r = b
         else:
-            r = b - matvec(x)
+            r = b if x_zero else b - matvec(x)
             x = _grid_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
-            r = b - matvec(x)
+            r = b - matvec(x) if cfg.nu_pre[level] > 0 or not x_zero else b
         bc = grid_restrict(r, lvl.P1)
         if level == nlev - 2:
             with jax.named_scope("gmg_coarsest"):
@@ -301,11 +319,13 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
         elif ctype == "K":
             coarse_mv = gh.levels[level + 1].A.matvec
             prec = lambda v: grid_cycle(cfg, gh, v, jnp.zeros_like(v),
-                                        level + 1, "K")
+                                        level + 1, "K", x_zero=True)
             xc = fgmres_relaxation(coarse_mv, prec, bc, jnp.zeros_like(bc),
-                                   cfg.kcycle_inner)
+                                   cfg.kcycle_inner,
+                                   axis_name=cfg.axis_name)
         else:
-            xc = grid_cycle(cfg, gh, bc, jnp.zeros_like(bc), level + 1, ctype)
+            xc = grid_cycle(cfg, gh, bc, jnp.zeros_like(bc), level + 1,
+                            ctype, x_zero=True)
             if ctype == "W":
                 xc = grid_cycle(cfg, gh, bc, xc, level + 1, "W")
             elif ctype == "F":
@@ -327,10 +347,10 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
     return x
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def grid_cycle_jit(cfg, gh: GridHierarchy, b, x):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def grid_cycle_jit(cfg, gh: GridHierarchy, b, x, x_zero: bool = False):
     """Jitted single cycle on grid fields (m, *grid)."""
-    return grid_cycle(cfg, gh, b, x)
+    return grid_cycle(cfg, gh, b, x, x_zero=x_zero)
 
 
 @functools.lru_cache(maxsize=None)
@@ -402,11 +422,12 @@ def grid_fmg(cfg, gh: GridHierarchy, b, n_cycles: int = 1):
     return x
 
 
-def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None):
+def grid_cycle_flat(cfg, gh: GridHierarchy, b2, x2, ctype: str | None = None,
+                    x_zero: bool = False):
     """Flat (n, m) boundary adapter around grid_cycle."""
     grid = gh.fine_grid
     xg = grid_cycle(cfg, gh, flat_to_grid(b2, grid), flat_to_grid(x2, grid),
-                    0, ctype)
+                    0, ctype, x_zero=x_zero)
     return grid_to_flat(xg)
 
 

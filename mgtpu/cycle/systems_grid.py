@@ -323,8 +323,11 @@ def _systems_smooth(cfg, lvl: SystemsGridLevel, r, xs, bs_field, nu: int):
 
 
 def systems_grid_cycle(cfg, gh: SystemsGridHierarchy, b, x, level: int = 0,
-                       ctype: str | None = None):
-    """One cycle on block fields b, x (tuples of (m, *grid_c))."""
+                       ctype: str | None = None, x_zero: bool = False):
+    """One cycle on block fields b, x (tuples of (m, *grid_c)).
+
+    `x_zero` (static): the incoming iterate is exactly zero (coarse-level
+    entries) — skip the r = b - A*0 matvec (see grid_cycle)."""
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(gh.levels)
     if level == nlev - 1:
@@ -332,10 +335,11 @@ def systems_grid_cycle(cfg, gh: SystemsGridHierarchy, b, x, level: int = 0,
 
     lvl = gh.levels[level]
     with jax.named_scope(f"smg_sys_level{level}"):
-        r = _tsub(b, lvl.A.matvec(x))
+        r = b if x_zero else _tsub(b, lvl.A.matvec(x))
         x = _systems_smooth(cfg, lvl, r, x, b, cfg.nu_pre[level])
 
-        r = _tsub(b, lvl.A.matvec(x))
+        r = (_tsub(b, lvl.A.matvec(x))
+             if cfg.nu_pre[level] > 0 or not x_zero else b)
         bc = systems_restrict(r, lvl.R1)
         if level == nlev - 2:
             xc = gh.coarse.solve(bc)
@@ -346,11 +350,13 @@ def systems_grid_cycle(cfg, gh: SystemsGridHierarchy, b, x, level: int = 0,
             from .relax import fgmres_relaxation
             coarse_mv = gh.levels[level + 1].A.matvec
             prec = lambda v: systems_grid_cycle(cfg, gh, v, _tzeros(v),
-                                                level + 1, "K")
+                                                level + 1, "K", x_zero=True)
             xc = fgmres_relaxation(coarse_mv, prec, bc, _tzeros(bc),
-                                   cfg.kcycle_inner)
+                                   cfg.kcycle_inner,
+                                   axis_name=cfg.axis_name)
         else:
-            xc = systems_grid_cycle(cfg, gh, bc, _tzeros(bc), level + 1, ctype)
+            xc = systems_grid_cycle(cfg, gh, bc, _tzeros(bc), level + 1,
+                                    ctype, x_zero=True)
             if ctype == "W":
                 xc = systems_grid_cycle(cfg, gh, bc, xc, level + 1, "W")
             elif ctype == "F":
@@ -363,9 +369,9 @@ def systems_grid_cycle(cfg, gh: SystemsGridHierarchy, b, x, level: int = 0,
     return x
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def systems_grid_cycle_jit(cfg, gh, b, x):
-    return systems_grid_cycle(cfg, gh, b, x)
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def systems_grid_cycle_jit(cfg, gh, b, x, x_zero: bool = False):
+    return systems_grid_cycle(cfg, gh, b, x, x_zero=x_zero)
 
 
 def systems_grid_cycle_flat(cfg, gh: SystemsGridHierarchy, b2, x2,

@@ -142,7 +142,7 @@ def _refined_loop_ell(cfg, hier, dfA, b_hi, b_lo, xh, xl, tol, max_iter):
 
     def body(carry):
         xh, xl, rh, it, res, rv = carry
-        z = recursive_cycle(cfg, hier, rh, jnp.zeros_like(rh))
+        z = recursive_cycle(cfg, hier, rh, jnp.zeros_like(rh), x_zero=True)
         xh, xl = df_accumulate(xh, xl, z)
         rh, rl = df_residual_ell(dfA, b_hi, b_lo, xh, xl)
         res = jnp.sqrt(jnp.sum(rh * rh))
@@ -251,7 +251,8 @@ class ShardedAMGSolver:
         A = self.hier.levels[0].A
 
         def prec(r):
-            return recursive_cycle(cfg, self.hier, r, jnp.zeros_like(r))
+            return recursive_cycle(cfg, self.hier, r, jnp.zeros_like(r),
+                                   x_zero=True)
 
         x, info = fgmres(A.matvec, bv, restart=restart or 10,
                          max_iter=max_iter, tol=tol, prec=prec)

@@ -62,7 +62,8 @@ def _sharded_refined_loop(cfg, gh, dfA, b_hi, b_lo, xh, xl, tol, max_iter,
 
     def body(carry):
         xh, xl, rh, it, res, rv = carry
-        z = grid_cycle(cfg, gh, rh.astype(cd), jnp.zeros_like(rh, dtype=cd))
+        z = grid_cycle(cfg, gh, rh.astype(cd), jnp.zeros_like(rh, dtype=cd),
+                       x_zero=True)
         xh, xl = df_accumulate(xh, xl, z.astype(jnp.float32))
         rh, rl = df_residual_dense(dfA, b_hi, b_lo, xh, xl)
         res = jnp.sqrt(jnp.sum(rh * rh))

@@ -44,7 +44,7 @@ def _cycle_runtime(cfg, hier):
     if isinstance(hier, GridHierarchy):
         grid = hier.fine_grid
         return (lambda v: flat_to_grid(v, grid), grid_to_flat,
-                lambda h, b, x: grid_cycle_jit(cfg, h, b, x),
+                lambda h, b, x, xz=False: grid_cycle_jit(cfg, h, b, x, xz),
                 hier.levels[0].A.matvec)
 
     from ..cycle.systems_grid import (SystemsGridHierarchy,
@@ -53,7 +53,8 @@ def _cycle_runtime(cfg, hier):
     if isinstance(hier, SystemsGridHierarchy):
         grids = hier.fine_grids
         return (lambda v: block_to_fields(v, grids), fields_to_block,
-                lambda h, b, x: systems_grid_cycle_jit(cfg, h, b, x),
+                lambda h, b, x, xz=False:
+                    systems_grid_cycle_jit(cfg, h, b, x, xz),
                 hier.levels[0].A.matvec)
 
     cycle = make_cycle_fn(cfg)
@@ -355,7 +356,7 @@ def solve_mg_refined(state: MGState, b, x=None, tol: float = 1e-8,
                           f"Factor: {res / max(res_prev, 1e-300):.3f}")
             if res / max(res0, 1e-300) < tol:
                 break
-            z = cycle(hier_lo, _vastype(r, cd), _vzeros(r, cd))
+            z = cycle(hier_lo, _vastype(r, cd), _vzeros(r, cd), True)
             xv = _vadd(xv, _vastype(z, outer_dtype))
             iters += 1
         resvec = np.array(resvec)
@@ -394,12 +395,14 @@ def _refined_device_loop(cfg, hier_lo, matvec_hi, bv, xv, tol, max_iter, cd):
     from ..cycle.systems_grid import SystemsGridHierarchy, systems_grid_cycle
     from ..cycle.cycle import recursive_cycle
 
+    # correction cycles always start from a zero guess: x_zero skips the
+    # r = b - A*0 entry matvec at every level (grid_cycle docstring)
     if isinstance(hier_lo, GridHierarchy):
-        cyc = lambda h, b, x: grid_cycle(cfg, h, b, x)
+        cyc = lambda h, b, x: grid_cycle(cfg, h, b, x, x_zero=True)
     elif isinstance(hier_lo, SystemsGridHierarchy):
-        cyc = lambda h, b, x: systems_grid_cycle(cfg, h, b, x)
+        cyc = lambda h, b, x: systems_grid_cycle(cfg, h, b, x, x_zero=True)
     else:
-        cyc = lambda h, b, x: recursive_cycle(cfg, h, b, x)
+        cyc = lambda h, b, x: recursive_cycle(cfg, h, b, x, x_zero=True)
 
     def sq_norm(v):
         if isinstance(v, tuple):
@@ -456,10 +459,10 @@ def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
 
     if isinstance(hier_lo, SystemsGridHierarchy):
         cyc = lambda r: systems_grid_cycle(cfg, hier_lo, _vastype(r, cd),
-                                           _vzeros(r, cd))
+                                           _vzeros(r, cd), x_zero=True)
     else:
         cyc = lambda r: grid_cycle(cfg, hier_lo, r.astype(cd),
-                                   jnp.zeros_like(r, dtype=cd))
+                                   jnp.zeros_like(r, dtype=cd), x_zero=True)
 
     def sq_norm(v):
         if isinstance(v, tuple):
@@ -511,7 +514,7 @@ def get_mg_preconditioner(state: MGState, outer_dtype=None):
     def prec(r):
         r2, squeeze = _as_2d(r)
         rl = r2.astype(cfg.dtype) if mixed else r2
-        z = cycle(hier, rl, jnp.zeros_like(rl))
+        z = cycle(hier, rl, jnp.zeros_like(rl), True)
         if mixed:
             z = z.astype(outer_dtype)
         return z[:, 0] if squeeze else z
@@ -548,7 +551,7 @@ def _krylov_setup(state: MGState, b, x0):
 
         def prec(r):
             rl = r.astype(cfg.dtype) if mixed else r
-            z = grid_cycle_jit(cfg, hier, rl, jnp.zeros_like(rl))
+            z = grid_cycle_jit(cfg, hier, rl, jnp.zeros_like(rl), True)
             return z.astype(r.dtype) if mixed else z
 
         def to_flat(Xv):
@@ -576,7 +579,8 @@ def _krylov_setup(state: MGState, b, x0):
             rl = r2.astype(cfg.dtype) if mixed else r2
             rf = block_to_fields(rl, grids)
             zf = systems_grid_cycle_jit(cfg, hier, rf,
-                                        tuple(jnp.zeros_like(t) for t in rf))
+                                        tuple(jnp.zeros_like(t)
+                                              for t in rf), True)
             z = fields_to_block(zf)
             return z.astype(r2.dtype) if mixed else z
 
