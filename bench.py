@@ -21,7 +21,10 @@ try/except; a failure records the exception under detail.errors and the
 section's metrics stay null — the JSON line is ALWAYS printed and the
 process exits 0 unless the interpreter itself dies.
 
-Prints exactly one JSON line.
+Prints the full-detail JSON line first, then a compact (<1.5 KB) headline
+JSON as the FINAL line — the driver's artifact keeps only the last ~2000
+stdout chars, so the final line must fit the window whole (VERDICT r4 weak
+#1); the full detail is also written to BENCH_DETAIL.json.
 """
 import json
 import time
@@ -197,9 +200,11 @@ def main():
     probe0 = (_wait_healthy(max(60.0, wait - (time.perf_counter() - t_gate)))
               if backend_up else float("inf"))
     # budget clock starts AFTER the health wait: waiting out a co-tenant
-    # squall must not eat the section budget
+    # squall must not eat the section budget.  620 s default (was 450):
+    # the r4 run spent 478 s and starved the two never-yet-recorded
+    # sections (line, agg_ab) — VERDICT r4 weak #2.
     T0 = time.perf_counter()
-    budget = float(os.environ.get("MGTPU_BENCH_BUDGET", "450"))
+    budget = float(os.environ.get("MGTPU_BENCH_BUDGET", "620"))
 
     def left():
         return budget - (time.perf_counter() - T0)
@@ -320,7 +325,7 @@ def main():
 
         def refined_iter(h, bb, carry):
             xh, xl, rh = carry
-            z = grid_cycle(cfg, h, rh, jnp.zeros_like(rh))
+            z = grid_cycle(cfg, h, rh, jnp.zeros_like(rh), x_zero=True)
             xh, xl = df_accumulate(xh, xl, z)
             rh, _ = df_residual(dfA, bb, b_lo, xh, xl)
             return (xh, xl, rh)
@@ -355,7 +360,7 @@ def main():
 
         def refined_iter_c(h, bb, carry):
             xh, xl, rh = carry
-            z = grid_cycle(cfg_c, h, rh, jnp.zeros_like(rh))
+            z = grid_cycle(cfg_c, h, rh, jnp.zeros_like(rh), x_zero=True)
             xh, xl = df_accumulate(xh, xl, z)
             rh, _ = df_residual(dfA_c, bb, b_lo, xh, xl)
             return (xh, xl, rh)
@@ -462,7 +467,7 @@ def main():
 
         def refined3_iter(h, bb, carry):
             xh, xl, rh = carry
-            z = grid_cycle(cfg3, h, rh, jnp.zeros_like(rh))
+            z = grid_cycle(cfg3, h, rh, jnp.zeros_like(rh), x_zero=True)
             xh, xl = df_accumulate(xh, xl, z)
             rh, _ = df_residual(dfA3, bb, b3_lo, xh, xl)
             return (xh, xl, rh)
@@ -510,8 +515,14 @@ def main():
             _, kinfo = solve_mg_refined(st_k, bk64, tol=1e-8, max_iter=30)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        R["kcycle_solve_s"] = best
-        R["kcycle_iters"] = int(kinfo["iters"])
+        iters = int(kinfo["iters"])
+        relres = float(kinfo["relres"])
+        R["kcycle_iters"] = iters
+        R["kcycle_relres"] = float(f"{relres:.3e}")
+        # cap-hit guard (VERDICT r4 weak #3): a solve that stopped at
+        # max_iter without reaching tol must NOT be reported as time-to-1e-8
+        R["kcycle_solve_s"] = best if relres <= 1e-8 else None
+        R["kcycle_wall_s"] = best
 
     def sec_line():
         # line smoother on the mixed-strength configuration it exists for
@@ -647,14 +658,16 @@ def main():
         section("relres", sec_relres)
         section("refined", sec_refined)
         section("cheb", sec_cheb)
-        section("vanka", sec_vanka, min_left=120)
-        section("sa_amg", sec_sa, min_left=120)
-        section("kcycle", sec_kcycle, min_left=90)
-        section("line", sec_line, min_left=90)
-        section("agg_ab", sec_agg, min_left=90)
-        section("multirhs", sec_m8, min_left=60)
+        # never-yet-recorded sections run BEFORE the repeat metrics
+        # (VERDICT r4 #1b: agg_ab and line were budget-starved twice)
+        section("agg_ab", sec_agg, min_left=150)
+        section("line", sec_line, min_left=120)
+        section("vanka", sec_vanka, min_left=90)
+        section("sa_amg", sec_sa, min_left=90)
+        section("kcycle", sec_kcycle, min_left=60)
+        section("multirhs", sec_m8, min_left=40)
         section("host_baseline", sec_host)
-        section("flat_engine", sec_flat, min_left=60)
+        section("flat_engine", sec_flat, min_left=40)
     else:
         errors["backend"] = (
             f"chip grant unavailable after "
@@ -747,6 +760,8 @@ def main():
                                         else R["m8_ms"] / 8),
             "kcycle_512_sa_cycle_ms": r(g("kcycle_ms")),
             "kcycle_512_solve_1e-8_s": r(g("kcycle_solve_s"), 3),
+            "kcycle_512_solve_wall_s": r(g("kcycle_wall_s"), 3),
+            "kcycle_512_relres": g("kcycle_relres"),
             "kcycle_512_iters": g("kcycle_iters"),
             "line_257_cycle_ms": g("line_ms"),
             "agg_greedy_vs_device": g("agg_ab"),
@@ -768,7 +783,62 @@ def main():
             "vs_baseline_note": "single-thread scipy CPU comparator",
         },
     }
+    # --- artifact discipline (VERDICT r4 weak #1: the driver keeps only the
+    # last ~2000 chars of stdout, and the r4 full-detail line outgrew that
+    # window, truncating away the headline fields).  Three-way record:
+    #   1. the FULL detail goes to a sidecar file (BENCH_DETAIL.json),
+    #   2. and to an EARLIER stdout line (tail truncation eats it first),
+    #   3. the FINAL stdout line is a compact (<1.5 KB) headline JSON that
+    #      always fits the tail window whole.
+    result["detail"]["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+    try:
+        import pathlib
+        side = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        side.write_text(json.dumps(result, indent=1) + "\n")
+    except Exception:                              # noqa: BLE001
+        pass
     print(json.dumps(result))
+
+    d = result["detail"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "ms",
+        "vs_baseline": result["vs_baseline"],
+        "detail": {
+            "device": d["device"],
+            "engine": d["engine"],
+            "gnnz_per_s": d["gnnz_per_s"],
+            "host_cpu_vcycle_ms": d["host_cpu_vcycle_ms"],
+            "relres20": d["relres_after_20_cycles"],
+            "time_to_1e-8_ms": d["time_to_1e-8_ms"],
+            "time_to_1e-8_fmg_ms": d["time_to_1e-8_fmg_ms"],
+            "vanka_cycle_ms": d["elasticity_vanka_cycle_ms"],
+            "sa_512_cycle_ms": d["sa_amg_512_cycle_ms"],
+            "p3d_vcycle_ms": d["poisson3d_128_vcycle_ms"],
+            "p3d_matvec_ms": d["poisson3d_matvec_ms"],
+            "p3d_time_to_1e-8_ms": d["poisson3d_time_to_1e-8_ms"],
+            "m8_ms_per_rhs": d["vcycle_8rhs_ms_per_rhs"],
+            "kcycle_ms": d["kcycle_512_sa_cycle_ms"],
+            "kcycle_solve_1e-8_s": d["kcycle_512_solve_1e-8_s"],
+            "kcycle_iters": d["kcycle_512_iters"],
+            "kcycle_relres": d["kcycle_512_relres"],
+            "line_ms": d["line_257_cycle_ms"],
+            "agg_ab": d["agg_greedy_vs_device"],
+            "setup2_s": d["setup_2d_1024_s"],
+            "setup3_s": d["setup_3d_128_s"],
+            "wall_s": d["bench_wall_s"],
+            "probe0_ms": d["chip_probe_ms"],
+            "n_errors": 0 if not errors else len(errors),
+            "full_detail": "BENCH_DETAIL.json + previous stdout line",
+        },
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:                 # belt-and-braces: never outgrow the
+        compact["detail"].pop("agg_ab")  # tail window (agg_ab is the only
+        line = json.dumps(compact)       # nested dict that can balloon)
+    print(line)
 
 
 if __name__ == "__main__":

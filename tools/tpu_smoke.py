@@ -342,6 +342,40 @@ def smoke_knobs():
         os.environ.pop("MGTPU_PALLAS3D_MIN", None)
 
 
+@gate("autobx_singlestep_and_midsize")
+def smoke_autobx():
+    """The r4 late landings (VERDICT r4 weak #4 shipped them ungated):
+    bx_for's whole-field single-step blocks (33^3 -> bx=33, padded field
+    676 KB <= the 1 MB compile cap) and the mid-size 9..16 divisors
+    (65^3 -> bx=13, block 479 KB): lower + compiled-vs-interpret numerics
+    through the REAL operator path."""
+    import os
+    import jax.numpy as jnp
+    from mgtpu.ops.pallas import fused3d as f3k
+    from mgtpu.ops.pallas.const3d import const3d_matvec_pallas, bx_for
+    os.environ["MGTPU_PALLAS3D_MIN"] = "1000"
+    try:
+        for dims, want_bx in (((32, 32, 32), 33), ((64, 64, 64), 13)):
+            A = _real_op(dims)
+            X, Y, Z = A.grid
+            assert bx_for(X, Y, Z) == want_bx, (A.grid, bx_for(X, Y, Z))
+            rng = np.random.default_rng(13 + dims[0])
+            x = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
+            b = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
+            d = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
+            w = A.boxes[0][1][0]
+            mv = lambda i: const3d_matvec_pallas(
+                A.const, A.faces, A.offsets, x, w, interpret=i,
+                band_meta=A.band_meta)
+            _close(mv(False), mv(True))
+            x1, r1 = f3k.jacobi_residual3d(A, d, b, x, interpret=False)
+            x1i, r1i = f3k.jacobi_residual3d(A, d, b, x, interpret=True)
+            _close(x1, x1i)
+            _close(r1, r1i)
+    finally:
+        os.environ.pop("MGTPU_PALLAS3D_MIN", None)
+
+
 @gate("tridiag_line_solve")
 def smoke_tridiag():
     """Lower AND check exactness vs the XLA doubling scan on the chip
@@ -435,7 +469,7 @@ def main(argv):
         return 2
     smokes = [smoke_const3d, smoke_fused3d, smoke_jacres, smoke_w2,
               smoke_compact, smoke_fold, smoke_bandv2, smoke_knobs,
-              smoke_tridiag, smoke_stencil2d]
+              smoke_autobx, smoke_tridiag, smoke_stencil2d]
     if "--fast" not in argv:
         smokes.append(smoke_cycle3d)
     t0 = time.time()
