@@ -56,7 +56,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cycle.cycle import recursive_cycle
-from ..cycle.coarse import DenseLU, SparseLUCoarse
+from ..cycle.coarse import DenseLU, SparseLUCoarse, IterativeCoarse
 from ..cycle.relax import DiagRelax, ChebyshevRelax
 from ..ops.df32 import df_accumulate, df_residual_ell, DFEll
 from ..ops.ell import ELL, ell_matvec, ell_arrays_from_scipy
@@ -162,6 +162,28 @@ class PartSparseLU:
         x = jnp.pad(x, ((0, self.ndev * self.p - self.nc), (0, 0)))
         s = jax.lax.axis_index(self.axis)
         return jax.lax.dynamic_slice_in_dim(x, s * self.p, self.p, axis=0)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["A", "d"], meta_fields=["inner", "axis"])
+@dataclass(frozen=True)
+class PartIterativeCoarse:
+    """Jacobi-preconditioned one-shot FGMRES coarsest solve on PARTITIONED
+    vectors (reference MGcycle.jl:152-168 escape hatch, distributed): the
+    coarsest operator is a PartELL with its own halo plan and the FGMRES
+    projection psums its Gram inner products over the mesh axis — the only
+    coarsest option with NO replication at all (no all-gather)."""
+    A: PartELL              # (ndev, ...) at build; local inside shard_map
+    d: jax.Array            # (ndev, p) at build; (p,) in-region
+    inner: int
+    axis: str
+
+    def solve(self, b_loc):
+        from ..cycle.relax import fgmres_relaxation
+        dcol = self.d[:, None]
+        return fgmres_relaxation(self.A.matvec, lambda r: dcol * r,
+                                 b_loc, jnp.zeros_like(b_loc), self.inner,
+                                 axis_name=self.axis)
 
 
 def _ell_with_mask(A: sp.csr_matrix, dtype):
@@ -314,6 +336,11 @@ class PartitionedAMGSolver:
         coarse = state.hier.coarse
         nc = state.As[-1].shape[0]
         self.levels = tuple(levels)
+        # dense/sparse LU coarsests are replicated pytrees (spec P());
+        # the iterative coarsest is itself partitioned (spec P(axis)) and
+        # its leading device axis is stripped inside the region like the
+        # level operators'
+        coarse_strip = False
         if isinstance(coarse, DenseLU):
             self.coarse = PartDenseLU(put(coarse.lu, repl),
                                       put(coarse.piv, repl),
@@ -325,10 +352,27 @@ class PartitionedAMGSolver:
             # one pure_callback to the host factor, keep the local slice
             self.coarse = PartSparseLU(coarse.factor, nc, self.p[-1],
                                        ndev, axis)
+        elif isinstance(coarse, IterativeCoarse):
+            # fully-partitioned coarsest: FGMRES over the PartELL coarsest
+            # operator, projections psum'ed — zero replication
+            ci, cv, cdists, csends, cHc = partition_plan(
+                state.As[-1].astype(cfg.dtype), ndev, self.p[-1],
+                self.p[-1], cfg.dtype)
+            A_c = PartELL(put(jnp.asarray(ci), rows3),
+                          put(jnp.asarray(cv), rows3),
+                          tuple(put(jnp.asarray(s), rows3) for s in csends),
+                          (self.p[-1], self.p[-1] + cHc), cdists, ndev, axis)
+            d_np = _pad_vec_blocks(np.asarray(coarse.d, cfg.dtype), ndev,
+                                   self.p[-1]).reshape(ndev, self.p[-1])
+            self.coarse = PartIterativeCoarse(
+                A_c, put(jnp.asarray(d_np), rows3), coarse.inner, axis)
+            self._comm[nlev - 1]["coarse_gmres"] = {
+                "halo_entries": cHc, "dists": list(cdists)}
+            coarse_strip = True
         else:
             raise ValueError(
-                f"partitioned AMG keeps the coarsest replicated (dense LU "
-                f"or host SuperLU); got {type(coarse).__name__}")
+                f"partitioned AMG supports dense-LU, host-SuperLU, or "
+                f"FGMRES coarsest solves; got {type(coarse).__name__}")
 
         # df32 fine operator for certified refinement: same plan machinery,
         # hi/lo split on HOST f64 values (jnp.asarray without x64 would
@@ -349,12 +393,16 @@ class PartitionedAMGSolver:
 
         def cycle_body(levels_dev, coarse_, b, x):
             levels_loc = jax.tree_util.tree_map(lambda a: a[0], levels_dev)
+            if coarse_strip:
+                coarse_ = jax.tree_util.tree_map(lambda a: a[0], coarse_)
             hier = Hierarchy(levels_loc, coarse_)
             return recursive_cycle(cyc_cfg, hier, b, x)
 
+        self._coarse_spec = P(axis) if coarse_strip else P()
+        self._coarse_strip = coarse_strip
         self._cycle_sm = jax.jit(shard_map(
             cycle_body, mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis)),
+            in_specs=(P(axis), self._coarse_spec, P(axis), P(axis)),
             out_specs=P(axis), check_vma=False))
         self.cyc_cfg = cyc_cfg
         self._refined_cache = {}
@@ -369,6 +417,8 @@ class PartitionedAMGSolver:
         def refined_body(levels_dev, coarse_, df_dev, b_hi, b_lo, xh, xl,
                          tol):
             levels_loc = jax.tree_util.tree_map(lambda a: a[0], levels_dev)
+            if self._coarse_strip:
+                coarse_ = jax.tree_util.tree_map(lambda a: a[0], coarse_)
             hier = Hierarchy(levels_loc, coarse_)
             didx, dvh, dvl = df_dev[0][0], df_dev[1][0], df_dev[2][0]
             dsidx = tuple(s[0] for s in df_dev[3])
@@ -414,7 +464,7 @@ class PartitionedAMGSolver:
 
         fn = jax.jit(shard_map(
             refined_body, mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P(axis),
+            in_specs=(P(axis), self._coarse_spec, P(axis), P(axis), P(axis),
                       P(axis), P(axis), P()),
             out_specs=(P(axis), P(axis), P(), P(), P(), P()),
             check_vma=False))
