@@ -307,7 +307,9 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
     pass 2, coloring.jl:104-122), "min-coarse" (coloring.jl:169-257), or
     "pmis" (device-parallel PMIS splitting, setup/device_agg.py)."""
     t_all = time.perf_counter()
-    A = sp.csr_matrix(A).astype(cfg.dtype)
+    # original-precision operator for certified refinement (see sa_amg.py)
+    A_orig = sp.csr_matrix(A)
+    A = A_orig.astype(cfg.dtype)
     if cfg.relax_type not in ("jacobi", "jac-gmres", "spai"):
         raise ValueError("classical AMG supports pointwise relaxations only")
     rp_arr = _per_level_relax_param(relax_param, cfg.levels)
@@ -370,7 +372,7 @@ def classical_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
     As[-1] = (As[-1] + shift * sp.identity(As[-1].shape[0])).tocsr()
 
     state = MGState(cfg, relax_param, As, Ps, Rs, meshes=[],
-                    coarse_solver=coarse_solver)
+                    A_input=A_orig, coarse_solver=coarse_solver)
     state.hier = build_device_hierarchy(state, relax_states, verbose)
     state.time_setup += time.perf_counter() - t_all
     return state

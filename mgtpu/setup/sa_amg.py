@@ -121,32 +121,29 @@ def aggregation_to_tentative_p(aggr: np.ndarray) -> sp.csr_matrix:
                          shape=(n, len(roots)))
 
 
-_DEVICE_AGG_MIN = 16384     # below this the host greedy is faster than a
-                            # device dispatch round-trip
-
-
 def get_aggregation(A: sp.spmatrix, theta: float,
                     method: str = "auto") -> sp.csr_matrix:
     """P0, or identity when the level is too small to coarsen
     (reference SA-AMG.jl:78-86: n <= 100 stops).
 
-    method: "auto" uses the device-parallel MIS-2 label-propagation kernel
-    (setup/device_agg.py — jitted, no per-node loop; ~25% fewer cycles at
-    ~40% higher operator complexity, see its module docstring) on
-    TPU-class backends for large levels, and the greedy host path (native
-    C++ kernel when built, else numpy — identical outputs) otherwise;
-    "device" / "greedy" force a path.  MGTPU_AGG overrides for A/B runs.
+    method: "auto" = the greedy host sweep (native C++ kernel when built,
+    else numpy — identical outputs), the reference's own convergence
+    contract (SA-AMG.jl:119-211).  The wall-clock A/B this default rests
+    on (512^2 rough-sigma, TPU, x64, warm — BENCH_r05 sec_agg + the r5
+    steady-state rerun): device MIS-2 converges in FEWER iterations
+    (20 vs 50) and wins per-solve (2.41 vs 3.40 s) but costs 4.5-6.6 s
+    setup vs greedy's 1.0-2.0 s at 1.37x the operator complexity, losing
+    the single-setup-single-solve total (6.9 vs 4.4 s).  "device" opts
+    into the MIS-2 label-propagation kernel (setup/device_agg.py) for
+    many-solves-per-setup workflows; MGTPU_AGG overrides for A/B runs.
     """
     import os
-    import jax as _jax
     n = A.shape[0]
     if n <= 100:
         return sp.identity(n, format="csr")
     S = strength_matrix(A, theta)
     method = os.environ.get("MGTPU_AGG", method).lower()
-    if method == "device" or (method == "auto" and n >= _DEVICE_AGG_MIN
-                              and _jax.default_backend()
-                              not in ("cpu", "gpu")):
+    if method == "device":
         from .device_agg import device_aggregation
         aggr = device_aggregation(S)
     else:
@@ -261,7 +258,12 @@ def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
     irregular aggregation requires).
     """
     t_all = time.perf_counter()
-    A = sp.csr_matrix(A).astype(cfg.dtype)
+    # keep the ORIGINAL-precision operator: the refined drivers certify
+    # against it (A_input).  Building the df32/f64 residual from the
+    # f32-cast As[0] instead capped every flat-engine "certified" solve at
+    # the OPERATOR's rounding (~5e-8 true relres, measured r5)
+    A_orig = sp.csr_matrix(A)
+    A = A_orig.astype(cfg.dtype)
     if cfg.relax_type not in ("jacobi", "jac-gmres", "spai",
                               "chebyshev", "chebyshev4"):
         raise ValueError("SA-AMG supports pointwise relaxations only "
@@ -334,7 +336,7 @@ def sa_amg_setup(A: sp.spmatrix, cfg: MGConfig, relax_param=1.0,
 
     state = MGState(cfg, relax_param, As, Ps, Rs,
                     meshes=([mesh] if mesh is not None else []),
-                    coarse_solver=coarse_solver)
+                    A_input=A_orig, coarse_solver=coarse_solver)
     if structured_nodes is not None:
         try:
             state.hier = _structured_sa_hierarchy(state, nn_levels,

@@ -238,6 +238,19 @@ def _df32_residual_op(state: MGState):
                                        state.config.mixed)
             except ValueError:
                 op = None
+        else:
+            # flat (ELL/DIA) engine — unstructured AMG hierarchies.  Without
+            # this form the refined loop fell back to the emulated-f64 SpMV
+            # (~5x slower on TPU) and, with jax x64 OFF, the f64 outer
+            # residual silently truncated to f32 and the solve FLOORED at
+            # ~1e-7 (measured r5: 512^2 rough-sigma SA, relres 1.15e-7 at
+            # the iteration cap) — the same df32-ELL machinery the sharded
+            # tiers already use (parallel/sharded_amg.py).
+            from ..ops.df32 import df_ell_from_csr
+            try:
+                op = df_ell_from_csr(sp.csr_matrix(A_host))
+            except Exception:              # noqa: BLE001 — fall back to f64
+                op = None
     state._df32_op_cache = (op,)
     return op
 
@@ -460,9 +473,15 @@ def _refined_device_loop_df32(cfg, hier_lo, df_op, b_hi, b_lo, xh, xl,
     if isinstance(hier_lo, SystemsGridHierarchy):
         cyc = lambda r: systems_grid_cycle(cfg, hier_lo, _vastype(r, cd),
                                            _vzeros(r, cd), x_zero=True)
-    else:
+    elif isinstance(hier_lo, GridHierarchy):
         cyc = lambda r: grid_cycle(cfg, hier_lo, r.astype(cd),
                                    jnp.zeros_like(r, dtype=cd), x_zero=True)
+    else:
+        # flat (ELL/DIA) engine: vectors stay (n, m)
+        from ..cycle.cycle import recursive_cycle
+        cyc = lambda r: recursive_cycle(cfg, hier_lo, r.astype(cd),
+                                        jnp.zeros_like(r, dtype=cd),
+                                        x_zero=True)
 
     def sq_norm(v):
         if isinstance(v, tuple):
