@@ -510,9 +510,13 @@ def main():
         bk64 = Ak @ np.random.RandomState(4).rand(Ak.shape[0])
         bk64 /= np.linalg.norm(bk64)
         best = None
+        # max_iter 70: this rough-sigma problem contracts at ~0.75/cycle
+        # (the plain-V spai solve needs 50 iters, sec_agg) — the old cap of
+        # 30 could not reach 1e-8 and the metric recorded a cap-hit every
+        # round (r4 weak #3; r5 measured relres 5.2e-7 at 30)
         for _ in range(2):                         # steady state: min of 2
             t0 = time.perf_counter()
-            _, kinfo = solve_mg_refined(st_k, bk64, tol=1e-8, max_iter=30)
+            _, kinfo = solve_mg_refined(st_k, bk64, tol=1e-8, max_iter=70)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         iters = int(kinfo["iters"])
