@@ -796,12 +796,14 @@ def main():
     #      always fits the tail window whole.
     result["detail"]["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                             time.gmtime())
+    sidecar_ok = False
     try:
         import pathlib
         side = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
         side.write_text(json.dumps(result, indent=1) + "\n")
+        sidecar_ok = True
     except Exception:                              # noqa: BLE001
-        pass
+        pass                          # read-only tree: stdout line suffices
     print(json.dumps(result))
 
     d = result["detail"]
@@ -835,13 +837,18 @@ def main():
             "wall_s": d["bench_wall_s"],
             "probe0_ms": d["chip_probe_ms"],
             "n_errors": 0 if not errors else len(errors),
-            "full_detail": "BENCH_DETAIL.json + previous stdout line",
+            "full_detail": ("BENCH_DETAIL.json + previous stdout line"
+                            if sidecar_ok else "previous stdout line"),
         },
     }
     line = json.dumps(compact)
-    if len(line) > 1800:                 # belt-and-braces: never outgrow the
-        compact["detail"].pop("agg_ab")  # tail window (agg_ab is the only
-        line = json.dumps(compact)       # nested dict that can balloon)
+    # belt-and-braces: never outgrow the ~2000-char tail window — drop the
+    # ballooning nested dicts first, then whole low-priority keys
+    for victim in ("agg_ab", "line_ms", "kcycle_relres", "host_cpu_vcycle_ms"):
+        if len(line) <= 1800:
+            break
+        compact["detail"].pop(victim, None)
+        line = json.dumps(compact)
     print(line)
 
 

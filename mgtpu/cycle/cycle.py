@@ -67,7 +67,7 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
         return grid_cycle_flat(cfg, hier, b, x, ctype, x_zero=x_zero)
     from .systems_grid import SystemsGridHierarchy, systems_grid_cycle_flat
     if isinstance(hier, SystemsGridHierarchy):
-        return systems_grid_cycle_flat(cfg, hier, b, x, ctype)
+        return systems_grid_cycle_flat(cfg, hier, b, x, ctype, x_zero=x_zero)
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(hier.levels)
     if level == nlev - 1:

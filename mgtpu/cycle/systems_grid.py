@@ -375,10 +375,12 @@ def systems_grid_cycle_jit(cfg, gh, b, x, x_zero: bool = False):
 
 
 def systems_grid_cycle_flat(cfg, gh: SystemsGridHierarchy, b2, x2,
-                            ctype: str | None = None):
+                            ctype: str | None = None,
+                            x_zero: bool = False):
     grids = gh.fine_grids
     xg = systems_grid_cycle(cfg, gh, block_to_fields(b2, grids),
-                            block_to_fields(x2, grids), 0, ctype)
+                            block_to_fields(x2, grids), 0, ctype,
+                            x_zero=x_zero)
     return fields_to_block(xg)
 
 

@@ -157,10 +157,19 @@ class PartSparseLU:
         def cb(bh):
             out = self.factor.solve(np.asarray(bh, self.factor.U.dtype))
             return out.astype(bh.dtype)
-        x = jax.pure_callback(cb, jax.ShapeDtypeStruct(b.shape, b.dtype), b,
-                              vmap_method="sequential")
-        x = jnp.pad(x, ((0, self.ndev * self.p - self.nc), (0, 0)))
+
+        def do(bb):
+            return jax.pure_callback(
+                cb, jax.ShapeDtypeStruct(bb.shape, bb.dtype), bb,
+                vmap_method="sequential")
+
+        # the gathered RHS is identical on every device — run the host
+        # factor ONCE (device 0) and broadcast via psum, instead of ndev
+        # serialized host solves per coarsest visit
         s = jax.lax.axis_index(self.axis)
+        x = jax.lax.cond(s == 0, do, lambda bb: jnp.zeros_like(bb), b)
+        x = jax.lax.psum(x, self.axis)
+        x = jnp.pad(x, ((0, self.ndev * self.p - self.nc), (0, 0)))
         return jax.lax.dynamic_slice_in_dim(x, s * self.p, self.p, axis=0)
 
 

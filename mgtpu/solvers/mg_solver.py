@@ -232,12 +232,16 @@ def _df32_residual_op(state: MGState):
                     op = df_dense_from_csr(sp.csr_matrix(A_host), nodes)
                 except ValueError:
                     op = None
-        elif isinstance(state.hier, SystemsGridHierarchy) and state.meshes:
-            try:
-                op = df_block_from_csr(A_host, list(state.meshes[0].n),
-                                       state.config.mixed)
-            except ValueError:
-                op = None
+        elif isinstance(state.hier, SystemsGridHierarchy):
+            # meshes can be absent on exotic states: op stays None and the
+            # refined loop takes the safe f64 outer path — a DFEll here
+            # would meet tuple block-field vectors and fail at trace time
+            if state.meshes:
+                try:
+                    op = df_block_from_csr(A_host, list(state.meshes[0].n),
+                                           state.config.mixed)
+                except ValueError:
+                    op = None
         else:
             # flat (ELL/DIA) engine — unstructured AMG hierarchies.  Without
             # this form the refined loop fell back to the emulated-f64 SpMV

@@ -8,6 +8,7 @@ Mosaic lowering constraints).  This test makes the rule self-checking: the
 newest TPUSMOKE_r*.json artifact's utc stamp must postdate the newest commit
 touching mgtpu/ops/pallas/ (or tools/tpu_smoke.py itself).
 """
+import calendar
 import glob
 import json
 import os
@@ -43,10 +44,9 @@ def test_tpusmoke_postdates_last_kernel_commit():
     for a in arts:
         try:
             utc = json.load(open(a)).get("utc")
-            t = time.mktime(time.strptime(utc, "%Y-%m-%dT%H:%M:%SZ"))
-            # utc -> epoch: strptime parses as local; correct by the local
-            # offset so the comparison is in true epoch seconds
-            t -= time.timezone if not time.daylight else time.altzone
+            # calendar.timegm treats the struct_time as UTC — mktime-plus-
+            # static-offset is wrong by an hour across DST phases
+            t = calendar.timegm(time.strptime(utc, "%Y-%m-%dT%H:%M:%SZ"))
             if newest is None or t > newest[0]:
                 newest = (t, a, utc, json.load(open(a)).get("ok"))
         except Exception:                          # noqa: BLE001
