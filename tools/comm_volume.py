@@ -171,6 +171,33 @@ def tier_part_amg(mesh, n=64, levels=3):
     return collective_bytes(hlo), int(sum(a.nnz for a in st.As))
 
 
+def tier_part_kcycle(mesh, n=64, levels=3):
+    """Partitioned K-cycle with Jac-GMRES smoothing (r5): quantifies the
+    psum cost of the globalised FGMRES projections — each projection adds
+    one (inner x inner + inner*m) all-reduce on top of the halo ppermutes."""
+    import jax.numpy as jnp
+    from mgtpu import get_mg_param
+    from mgtpu.setup.sa_amg import sa_amg_setup
+    from mgtpu.models.operators import nodal_div_sig_grad_matrix
+    from mgtpu import get_regular_mesh
+    from mgtpu.parallel.part_amg import PartitionedAMGSolver
+    M = get_regular_mesh([0.0, 1.0, 0.0, 1.0], [n, n])
+    sig = np.exp(np.random.RandomState(1).randn(n * n))
+    A = nodal_div_sig_grad_matrix(M, sig)
+    A = (A + 1e-8 * abs(A).sum(0).max() * sp.identity(A.shape[0])).tocsr()
+    cfg, rp = get_mg_param(levels=levels, relax_type="jac-gmres",
+                           relax_param=1.0, nu_pre=1, nu_post=1,
+                           cycle_type="K", dtype=np.float32)
+    st = sa_amg_setup(A, cfg, rp)
+    solver = PartitionedAMGSolver(st, mesh)
+    b2, _ = solver._to_dev(np.random.RandomState(2).rand(A.shape[0]),
+                           np.float32)
+    x2 = jnp.zeros_like(b2)
+    hlo = solver._cycle_sm.lower(solver.levels, solver.coarse, b2,
+                                 x2).compile().as_text()
+    return collective_bytes(hlo), int(sum(a.nnz for a in st.As))
+
+
 def main():
     mesh = _mesh()
     out = {"ndev": 8, "note": ("per-device bytes moved by collectives in "
@@ -179,7 +206,8 @@ def main():
     for name, fn in (("grid2d_gspmd", tier_grid2d),
                      ("stencil_shardmap", tier_shardmap),
                      ("amg_replicated_iterates", tier_amg),
-                     ("amg_partitioned_iterates", tier_part_amg)):
+                     ("amg_partitioned_iterates", tier_part_amg),
+                     ("amg_partitioned_kcycle", tier_part_kcycle)):
         try:
             acct, nnz = fn(mesh)
             if acct is not None:
