@@ -405,9 +405,13 @@ def main():
         assert isinstance(st_e.hier, SystemsGridHierarchy)
         be = block_to_fields(jnp.asarray(
             rng.rand(Ae.shape[0], 1).astype(dtype)), st_e.hier.fine_grids)
+        # long chains: this cycle sits at the ~20-80 us measurement floor
+        # where ks=(2,22) reads noise (r1-r5 spread 0.022-0.169 ms; same
+        # lesson as the line section — CLAUDE.md rule 2)
         R["vanka_ms"] = _chain_timer(
             lambda h, bb, xx: systems_grid_cycle(cfg_e, h, bb, xx),
-            st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(2, 22))
+            st_e.hier, be, tuple(jnp.zeros_like(t) for t in be), ks=(4, 104),
+            reps=2)
 
     def sec_sa():
         # structured SA-AMG on rough coefficients (reference headline AMG)
