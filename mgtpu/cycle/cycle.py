@@ -60,7 +60,8 @@ def recursive_cycle(cfg: MGConfig, hier: Hierarchy, b, x, level: int = 0,
     coarse-level entry, and the refined drivers' correction cycles): the
     entry residual is b itself and the r = b - A*0 matvec is skipped —
     one matvec (and, in the partitioned tier, its halo exchange) saved per
-    level per cycle, bitwise-identical results."""
+    level per cycle.  Bitwise-identical on the XLA engines; the fused 3D
+    path is float32-equivalent (see grid_cycle's docstring)."""
     from .grid_cycle import GridHierarchy, grid_cycle_flat
     if isinstance(hier, GridHierarchy):
         # structured zero-gather engine; (n, m) <-> (m, *grid) at the boundary

@@ -274,7 +274,11 @@ def grid_cycle(cfg, gh: GridHierarchy, b, x, level: int = 0,
     cycles of the refined drivers.  The entry residual is then b itself, so
     the r = b - A*0 matvec is skipped (XLA cannot fold A@0: the stencil
     coefficients are runtime arrays).  One matvec saved per level per
-    cycle; bitwise-identical results (A@0 is exact zeros)."""
+    cycle.  Results are bitwise-identical on the XLA engines (A@0 is exact
+    zeros); on the fused 3D Pallas path the double-apply pre-smooth
+    collapses to d*b + one residual3d apply, whose different in-kernel
+    accumulation order makes results float32-equivalent rather than
+    bitwise (tests/test_xzero.py pins both contracts)."""
     ctype = cfg.cycle_type if ctype is None else ctype
     nlev = len(gh.levels)
     if level == nlev - 1:

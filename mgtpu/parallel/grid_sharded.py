@@ -139,6 +139,8 @@ def make_grid_sharded_cycle(state, mesh: Mesh, axes=("x",)):
         sl = xg[(slice(None),) + tuple(slice(0, e) for e in true_grid)]
         return grid_to_flat(sl)
 
-    cycle = jax.jit(lambda gh_, b_, x_: grid_cycle(cfg, gh_, b_, x_),
+    cycle = jax.jit(lambda gh_, b_, x_, xz=False:
+                    grid_cycle(cfg, gh_, b_, x_, x_zero=xz),
+                    static_argnums=(3,),
                     out_shardings=fsh)
     return gh_sh, cycle, to_grid, from_grid

@@ -363,20 +363,17 @@ class PartitionedAMGSolver:
                                        ndev, axis)
         elif isinstance(coarse, IterativeCoarse):
             # fully-partitioned coarsest: FGMRES over the PartELL coarsest
-            # operator, projections psum'ed — zero replication
-            ci, cv, cdists, csends, cHc = partition_plan(
-                state.As[-1].astype(cfg.dtype), ndev, self.p[-1],
-                self.p[-1], cfg.dtype)
-            A_c = PartELL(put(jnp.asarray(ci), rows3),
-                          put(jnp.asarray(cv), rows3),
-                          tuple(put(jnp.asarray(s), rows3) for s in csends),
-                          (self.p[-1], self.p[-1] + cHc), cdists, ndev, axis)
+            # operator, projections psum'ed — zero replication.  The level
+            # loop already built the coarsest A as a PartELL with exactly
+            # these (matrix, p, dtype) — reuse it instead of recomputing
+            # the halo plan and holding a second device copy
+            A_c = levels[-1].A
             d_np = _pad_vec_blocks(np.asarray(coarse.d, cfg.dtype), ndev,
                                    self.p[-1]).reshape(ndev, self.p[-1])
             self.coarse = PartIterativeCoarse(
                 A_c, put(jnp.asarray(d_np), rows3), coarse.inner, axis)
-            self._comm[nlev - 1]["coarse_gmres"] = {
-                "halo_entries": cHc, "dists": list(cdists)}
+            self._comm[nlev - 1]["coarse_gmres"] = dict(
+                self._comm[nlev - 1]["A"])
             coarse_strip = True
         else:
             raise ValueError(

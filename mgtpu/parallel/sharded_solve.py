@@ -190,7 +190,7 @@ class ShardedGridSolver:
 
         def prec(r):
             rl = r.astype(cfg.dtype) if mixed else r
-            z = self.cycle(self.gh, rl, jnp.zeros_like(rl))
+            z = self.cycle(self.gh, rl, jnp.zeros_like(rl), True)
             return z.astype(r.dtype) if mixed else z
 
         return matvec, prec
@@ -281,7 +281,7 @@ def _sharded_refined_loop_systems(cfg, gh, dfB, b_hi, b_lo, xh, xl, tol,
         z = systems_grid_cycle(cfg, gh,
                                tuple(t.astype(cd) for t in rh),
                                tuple(jnp.zeros_like(t, dtype=cd)
-                                     for t in rh))
+                                     for t in rh), x_zero=True)
         xh, xl = df_accumulate_tree(
             xh, xl, tuple(t.astype(jnp.float32) for t in z))
         rh, rl = df_residual_block(dfB, b_hi, b_lo, xh, xl)

@@ -203,6 +203,8 @@ def make_systems_sharded_cycle(state, mesh: Mesh, axis: str = "x"):
                    for x, g in zip(xs, true_grids))
         return fields_to_block(sl)
 
-    cycle = jax.jit(lambda gh_, b_, x_: systems_grid_cycle(cfg, gh_, b_, x_),
+    cycle = jax.jit(lambda gh_, b_, x_, xz=False:
+                    systems_grid_cycle(cfg, gh_, b_, x_, x_zero=xz),
+                    static_argnums=(3,),
                     out_shardings=fsh)
     return gh_sh, cycle, to_fields, from_fields
